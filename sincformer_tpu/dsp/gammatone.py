@@ -1,0 +1,152 @@
+"""64-channel gammatone filterbank (GFTB) as one fused depthwise convolution.
+
+Same math as the reference's ``signal_processing/gammatone.py`` (ERB scale,
+4th-order gammatone IR, unit-energy normalisation, causal FIR filtering,
+per-unit power + center-bin phase) but restructured TPU-first:
+
+  * the reference convolves 64 channels serially with scipy ``fftconvolve``
+    (gammatone.py:123-127); here the whole bank is a single
+    ``lax.conv_general_dilated`` call — one MXU-friendly conv with a
+    precomputed (C, K) FIR weight, batched over utterances;
+  * the reference computes a Python double loop of per-(channel, frame)
+    rFFTs (gammatone.py:185-192); here framing is a gather and a single
+    batched rFFT covers every T-F unit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.utils.signal import frame_signal
+
+
+def erb_bandwidth(cf):
+    """ERB(f) = 24.7·(4.37·f/1000 + 1), Glasberg & Moore 1990
+    (reference gammatone.py:20-25)."""
+    return 24.7 * (4.37 * np.asarray(cf) / 1000.0 + 1.0)
+
+
+def erb_space(low_freq: float, high_freq: float, num_channels: int) -> np.ndarray:
+    """Center frequencies equally spaced on the ERB-number scale
+    (reference gammatone.py:28-47). Host NumPy: these are compile-time
+    constants baked into the conv weights."""
+    erb_low = 9.265 * np.log(1 + low_freq / (24.7 * 9.265))
+    erb_high = 9.265 * np.log(1 + high_freq / (24.7 * 9.265))
+    pts = np.linspace(erb_low, erb_high, num_channels)
+    return 24.7 * 9.265 * (np.exp(pts / 9.265) - 1)
+
+
+def gammatone_impulse_response(cf: float, fs: int, duration: float = 0.05,
+                               order: int = 4) -> np.ndarray:
+    """Unit-energy 4th-order gammatone IR
+    ``t^(O-1)·e^(-2π·1.019·ERB·t)·cos(2π·cf·t)`` (reference gammatone.py:50-74)."""
+    t = np.arange(0, duration, 1.0 / fs)
+    b = 2 * np.pi * erb_bandwidth(cf) * 1.019
+    h = (t ** (order - 1)) * np.exp(-b * t) * np.cos(2 * np.pi * cf * t)
+    return h / (np.sqrt(np.sum(h ** 2)) + 1e-10)
+
+
+@functools.lru_cache(maxsize=8)
+def _fir_bank(num_channels: int, freq_low: float, freq_high: float,
+              fs: int, order: int, duration: float):
+    """Precompute the (C, K) FIR bank and center frequencies (cached)."""
+    cfs = erb_space(freq_low, freq_high, num_channels)
+    bank = np.stack([gammatone_impulse_response(cf, fs, duration, order)
+                     for cf in cfs]).astype(np.float32)
+    return jnp.asarray(bank), cfs
+
+
+class GammatoneFilterbank:
+    """Batched GFTB: waveform (..., N) → T-F representation.
+
+    API mirrors the reference class (gammatone.py:77-194) but every method
+    accepts arbitrary leading batch dims and is jit-able.
+    """
+
+    def __init__(self, num_channels: int | None = None,
+                 freq_low: float | None = None,
+                 freq_high: float | None = None,
+                 sample_rate: int | None = None,
+                 filter_order: int | None = None,
+                 ir_duration: float | None = None,
+                 gcfg: cfg.GammatoneConfig = cfg.DEFAULT.gammatone,
+                 acfg: cfg.AudioConfig = cfg.DEFAULT.audio):
+        self.num_channels = num_channels or gcfg.num_channels
+        self.freq_low = freq_low or gcfg.freq_low
+        self.freq_high = freq_high or gcfg.freq_high
+        self.sample_rate = sample_rate or acfg.sample_rate
+        self.filter_order = filter_order or gcfg.filter_order
+        self.ir_duration = ir_duration or gcfg.ir_duration
+        self.frame_size = acfg.frame_size
+        self.hop_size = acfg.hop_size
+        self.fft_size = acfg.fft_size
+
+        self.fir, self.center_freqs = _fir_bank(
+            self.num_channels, self.freq_low, self.freq_high,
+            self.sample_rate, self.filter_order, self.ir_duration)
+        # phase bin per channel: int(cf * fft/fs), clamped (gammatone.py:190-191)
+        bins = (self.center_freqs * self.fft_size / self.sample_rate).astype(int)
+        self.cf_bins = np.minimum(bins, self.fft_size // 2)
+
+    # ── filtering ────────────────────────────────────────────────────────
+
+    def filter(self, signal: jnp.ndarray) -> jnp.ndarray:
+        """Apply the filterbank: (..., N) → (..., C, N).
+
+        Causal FIR: equals ``fftconvolve(x, ir, 'full')[:N]`` per channel
+        (reference gammatone.py:123-127) via left zero-padding of K-1.
+        """
+        x = jnp.asarray(signal, jnp.float32)
+        batch_shape = x.shape[:-1]
+        n = x.shape[-1]
+        x2 = x.reshape((-1, 1, n))                       # (B, 1, N)
+        k = self.fir.shape[-1]
+        # XLA conv is cross-correlation — flip taps for true convolution
+        w = self.fir[:, None, ::-1]                       # (C, 1, K) OIW
+        y = jax.lax.conv_general_dilated(
+            x2, w,
+            window_strides=(1,),
+            padding=[(k - 1, 0)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )                                                 # (B, C, N)
+        return y.reshape(batch_shape + (self.num_channels, n))
+
+    def filter_to_frames(self, signal: jnp.ndarray,
+                         frame_size: int | None = None,
+                         hop_size: int | None = None) -> jnp.ndarray:
+        """(..., N) → (..., C, T, frame_size), T = (N-L)//H+1
+        (reference gammatone.py:130-159)."""
+        frame_size = frame_size or self.frame_size
+        hop_size = hop_size or self.hop_size
+        filtered = self.filter(signal)
+        return frame_signal(filtered, frame_size, hop_size)
+
+    def get_tf_magnitudes(self, signal: jnp.ndarray,
+                          frame_size: int | None = None,
+                          hop_size: int | None = None,
+                          fft_size: int | None = None):
+        """Per-unit total power and center-bin phase
+        (reference gammatone.py:161-194 — NOTE the reference collapses each
+        (channel, frame) spectrum to scalar Σ|rfft|² and samples phase at the
+        channel's cf bin; we reproduce that contract exactly).
+
+        Returns:
+            (magnitudes, phases), each (..., C, T).
+        """
+        fft_size = fft_size or self.fft_size
+        frames = self.filter_to_frames(signal, frame_size, hop_size)
+        spec = jnp.fft.rfft(frames, n=fft_size, axis=-1)   # (..., C, T, F)
+        mags = jnp.sum(jnp.abs(spec) ** 2, axis=-1)        # (..., C, T)
+        # select each channel's center bin via a one-hot contraction
+        # (broadcasts over batch and frame axes; stays a single fused op)
+        n_bins = fft_size // 2 + 1
+        onehot = np.zeros((self.num_channels, n_bins), dtype=np.float32)
+        onehot[np.arange(self.num_channels), self.cf_bins] = 1.0
+        sel = jnp.sum(spec * jnp.asarray(onehot)[:, None, :], axis=-1)
+        phases = jnp.angle(sel)
+        return mags, phases

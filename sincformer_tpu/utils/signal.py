@@ -1,0 +1,172 @@
+"""Windowing / framing / transform primitives shared across the DSP stack.
+
+Everything here is a pure ``jnp`` function with static shapes so it can be
+jitted, vmapped, and fused by XLA.  Framing is expressed as a gather with a
+precomputed index grid — XLA lowers this to an efficient strided copy and the
+downstream rFFT/matmul batches over the frame axis (one big kernel instead of
+the reference's per-frame Python loops, e.g. gammatone.py:185-192).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ─── Windows ─────────────────────────────────────────────────────────────────
+
+def hamming_window(n: int, periodic: bool = False) -> jnp.ndarray:
+    """Hamming window.
+
+    ``periodic=False`` matches ``scipy.signal.windows.hamming`` (used by the
+    reference's feature extractors, features.py:69) with the N-1 denominator;
+    ``periodic=True`` matches ``torch.hamming_window`` defaults.
+    """
+    denom = n if periodic else n - 1
+    k = np.arange(n)
+    return jnp.asarray(0.54 - 0.46 * np.cos(2.0 * np.pi * k / denom),
+                       dtype=jnp.float32)
+
+
+def hann_window(n: int, periodic: bool = True) -> jnp.ndarray:
+    """Hann window.
+
+    ``periodic=True`` matches ``torch.hann_window`` (used by the reference's
+    DCSE STFT, conformer_pipeline.py:198); ``periodic=False`` matches
+    ``np.hanning`` (used in the DNN inference path, pipeline.py:886).
+    """
+    denom = n if periodic else n - 1
+    k = np.arange(n)
+    return jnp.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * k / denom),
+                       dtype=jnp.float32)
+
+
+# ─── Framing ─────────────────────────────────────────────────────────────────
+
+def num_frames(n_samples: int, frame_size: int, hop: int) -> int:
+    """The reference's universal uncentered frame count convention
+    ``(N - L)//H + 1`` (gammatone.py:151, ssnr.py:53, features.py:159)."""
+    return max(0, (n_samples - frame_size) // hop + 1)
+
+
+def frame_signal(x: jnp.ndarray, frame_size: int, hop: int) -> jnp.ndarray:
+    """Slice ``x`` into overlapping frames along its last axis.
+
+    Args:
+        x: (..., N) signal.
+        frame_size: samples per frame.
+        hop: hop between frame starts.
+
+    Returns:
+        (..., T, frame_size) with T = (N - frame_size)//hop + 1.
+    """
+    n = x.shape[-1]
+    t = num_frames(n, frame_size, hop)
+    if t == 0:
+        return jnp.zeros(x.shape[:-1] + (0, frame_size), dtype=x.dtype)
+    # index grid: (T, frame_size)
+    idx = (np.arange(t)[:, None] * hop + np.arange(frame_size)[None, :])
+    return x[..., idx]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
+    """Inverse of :func:`frame_signal`: sum overlapping frames.
+
+    Args:
+        frames: (..., T, L) frames.
+        hop: hop size used when framing.
+        out_len: output length (extra tail is dropped, shortfall zero-padded).
+
+    Returns:
+        (..., out_len) signal.
+    """
+    t, length = frames.shape[-2], frames.shape[-1]
+    total = (t - 1) * hop + length if t > 0 else 0
+    pad_to = max(total, out_len)
+    # scatter-add via segment trick: build (T, pad_to) one-hot-free placement
+    out = jnp.zeros(frames.shape[:-2] + (pad_to,), dtype=frames.dtype)
+    idx = (np.arange(t)[:, None] * hop + np.arange(length)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (t * length,))
+    out = out.at[..., idx].add(flat)
+    return out[..., :out_len]
+
+
+# ─── DCT ─────────────────────────────────────────────────────────────────────
+
+@functools.lru_cache(maxsize=32)
+def dct_matrix(n: int, n_out: int | None = None) -> jnp.ndarray:
+    """Orthonormal DCT-II matrix, rows = output coefficients.
+
+    ``y = D @ x`` equals ``scipy.fftpack.dct(x, type=2, norm='ortho')[:n_out]``
+    (the reference's cepstral transform, features.py:218,320,374).
+    Materialised as a matmul so batched DCTs ride the MXU.
+    """
+    n_out = n_out or n
+    k = np.arange(n_out)[:, None]
+    j = np.arange(n)[None, :]
+    d = np.cos(np.pi * k * (2 * j + 1) / (2 * n)) * 2.0
+    scale = np.ones((n_out, 1)) * np.sqrt(1.0 / (4.0 * n)) * np.sqrt(2.0)
+    scale[0, 0] = np.sqrt(1.0 / (4.0 * n))
+    # scipy ortho norm: f0 = sqrt(1/(4N)), fk = sqrt(1/(2N))
+    d = d * np.where(k == 0, np.sqrt(1.0 / (4.0 * n)), np.sqrt(1.0 / (2.0 * n)))
+    del scale
+    return jnp.asarray(d, dtype=jnp.float32)
+
+
+def dct_ortho(x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """DCT-II (ortho) along the last axis, truncated to ``n_out`` coeffs."""
+    d = dct_matrix(x.shape[-1], n_out)
+    return jnp.einsum("kn,...n->...k", d, x)
+
+
+# ─── Resampling ──────────────────────────────────────────────────────────────
+
+def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resampler matching the reference's librosa-less
+    fallback (pipeline.py:62-66). Host-side NumPy (data loading only)."""
+    if sr_in == sr_out:
+        return x
+    new_len = int(len(x) * sr_out / sr_in)
+    idx = np.linspace(0, len(x) - 1, new_len)
+    return np.interp(idx, np.arange(len(x)), x).astype(np.float32)
+
+
+def resample_poly_fft(x: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray:
+    """FFT-domain resampler (jit-able) for metric-internal rate conversion
+    (e.g. STOI's 10 kHz analysis rate). Matches scipy.signal.resample
+    semantics for real inputs along the last axis."""
+    if sr_in == sr_out:
+        return x
+    n = x.shape[-1]
+    m = int(round(n * sr_out / sr_in))
+    spec = jnp.fft.rfft(x, axis=-1)
+    n_bins_out = m // 2 + 1
+    n_bins_in = spec.shape[-1]
+    if n_bins_out <= n_bins_in:
+        spec = spec[..., :n_bins_out]
+        # Nyquist handling for even input lengths downsampling
+        if m % 2 == 0 and n_bins_out < n_bins_in:
+            spec = spec.at[..., -1].set(spec[..., -1].real * 2.0 + 0.0j)
+    else:
+        pad = [(0, 0)] * (spec.ndim - 1) + [(0, n_bins_out - n_bins_in)]
+        spec = jnp.pad(spec, pad)
+    out = jnp.fft.irfft(spec, n=m, axis=-1) * (m / n)
+    return out.astype(x.dtype)
+
+
+def hilbert_envelope(x: jnp.ndarray) -> jnp.ndarray:
+    """|analytic signal| along the last axis (NCM's temporal envelope,
+    evaluation/ncm.py:25-32). FFT-based, batched."""
+    n = x.shape[-1]
+    spec = jnp.fft.fft(x, axis=-1)
+    h = np.zeros(n)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    analytic = jnp.fft.ifft(spec * jnp.asarray(h), axis=-1)
+    return jnp.abs(analytic)
