@@ -1,0 +1,192 @@
+"""Conformer blocks + complex-domain Conformer mask estimator.
+
+Capability-parity with the reference (``models/conformer.py``): half-residual
+feed-forward (Swish), pre-LN MHSA, conv module (pointwise→GLU→depthwise
+k=31→norm→Swish→pointwise), final LayerNorm; ComplexConformer with global
+skip and complex-mask applier.
+
+TPU-first choices (documented deviations):
+  * attention uses ``jax.nn.dot_product_attention`` so XLA emits its fused
+    flash-attention kernel on TPU (the reference uses torch
+    nn.MultiheadAttention); an optional Pallas kernel can be slotted in via
+    ops/attention.py.
+  * the conv module's normalisation is switchable: per-position LayerNorm
+    (default — no cross-batch or cross-time statistics, so it is safe under
+    SPMD sharding and length padding), GroupNorm (`norm="group"`), or
+    BatchNorm (`norm="batch"`, reference parity with conformer.py:95 —
+    cross-batch stats are hostile to sharding and padded batches).
+  * depthwise conv is one ``lax.conv_general_dilated`` with
+    ``feature_group_count=d_model``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sincformer_tpu import config as cfg
+
+
+def swish(x):
+    """x·sigmoid(x) (reference conformer.py:45)."""
+    return x * jax.nn.sigmoid(x)
+
+
+class FeedForwardModule(nn.Module):
+    """LN → Dense(d_ff) → Swish → Drop → Dense(d) → Drop, half residual
+    (reference conformer.py:28-49)."""
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        residual = x
+        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.d_ff)(x)
+        x = swish(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.d_model)(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return residual + 0.5 * x
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Pre-LN MHSA with residual (reference conformer.py:52-71).
+
+    QKV/out projections are Dense (MXU GEMMs); the score/softmax/value path
+    goes through jax.nn.dot_product_attention → XLA fused attention on TPU.
+    """
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
+        residual = x
+        x = nn.LayerNorm()(x)
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h, dh)
+        v = v.reshape(b, t, h, dh)
+        bias = None
+        if mask is not None:
+            # mask: (B, T) valid-frame mask → additive bias
+            bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
+            bias = jnp.broadcast_to(bias, (b, 1, t, t)).astype(x.dtype)
+        o = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        o = o.reshape(b, t, d)
+        o = nn.Dense(d, name="out")(o)
+        o = nn.Dropout(self.dropout, deterministic=deterministic)(o)
+        return residual + o
+
+
+class ConvolutionModule(nn.Module):
+    """LN → pointwise(2d) → GLU → depthwise(k) → norm → Swish → pointwise →
+    Drop, residual (reference conformer.py:74-128)."""
+    d_model: int
+    kernel_size: int = 31
+    dropout: float = 0.1
+    norm: str = "layer"   # "layer" (default) | "group" | "batch" (parity)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        residual = x
+        x = nn.LayerNorm()(x)
+        x = nn.Dense(2 * self.d_model, name="pointwise1")(x)
+        x = nn.glu(x, axis=-1)
+        # depthwise conv over time: (B, T, D), feature_group_count=D
+        x = nn.Conv(self.d_model, kernel_size=(self.kernel_size,),
+                    feature_group_count=self.d_model, padding="SAME",
+                    name="depthwise")(x)
+        if self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             name="bn")(x)
+        elif self.norm == "group":
+            x = nn.GroupNorm(num_groups=min(32, self.d_model), name="gn")(x)
+        else:  # "layer": per-position — no cross-time/-batch coupling, the
+            # padding- and SPMD-safe default
+            x = nn.LayerNorm(name="ln")(x)
+        x = swish(x)
+        x = nn.Dense(self.d_model, name="pointwise2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return residual + x
+
+
+class ConformerBlock(nn.Module):
+    """FF½ → MHSA → Conv → FF½ → LN (reference conformer.py:131-151)."""
+    d_model: int
+    num_heads: int
+    d_ff: int
+    kernel_size: int
+    dropout: float
+    conv_norm: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
+        x = FeedForwardModule(self.d_model, self.d_ff, self.dropout)(
+            x, deterministic)
+        x = MultiHeadSelfAttention(self.d_model, self.num_heads,
+                                   self.dropout)(x, deterministic, mask)
+        x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout,
+                              self.conv_norm)(x, deterministic)
+        x = FeedForwardModule(self.d_model, self.d_ff, self.dropout)(
+            x, deterministic)
+        return nn.LayerNorm()(x)
+
+
+class ComplexConformer(nn.Module):
+    """Complex-STFT → complex mask (reference conformer.py:154-249).
+
+    stack(re, im) → Linear(2F→d) → N blocks → +global skip → Linear(d→2F).
+    """
+    n_freq: int = 129
+    d_model: int = 256
+    num_blocks: int = 6
+    num_heads: int = 4
+    d_ff: int = 1024
+    kernel_size: int = 31
+    dropout: float = 0.1
+    conv_norm: str = "layer"
+
+    @nn.compact
+    def __call__(self, stft_real, stft_imag, deterministic: bool = True,
+                 mask: Optional[jnp.ndarray] = None):
+        x = jnp.concatenate([stft_real, stft_imag], axis=-1)
+        x = nn.Dense(self.d_model, name="input_proj")(x)
+        skip = x
+        for i in range(self.num_blocks):
+            x = ConformerBlock(self.d_model, self.num_heads, self.d_ff,
+                               self.kernel_size, self.dropout,
+                               self.conv_norm, name=f"block_{i}")(
+                x, deterministic, mask)
+        x = x + skip
+        x = nn.Dense(2 * self.n_freq, name="output_proj")(x)
+        return x[..., :self.n_freq], x[..., self.n_freq:]
+
+    @staticmethod
+    def apply_mask(stft_real, stft_imag, mask_real, mask_imag):
+        """Ŝ = M̂ ⊙ Z complex multiply (reference conformer.py:230-245)."""
+        enhanced_real = mask_real * stft_real - mask_imag * stft_imag
+        enhanced_imag = mask_real * stft_imag + mask_imag * stft_real
+        return enhanced_real, enhanced_imag
+
+
+def default_complex_conformer(ccfg: cfg.ConformerConfig = cfg.DEFAULT.conformer,
+                              acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
+                              **overrides) -> ComplexConformer:
+    kw = dict(n_freq=acfg.n_freq, d_model=ccfg.d_model,
+              num_blocks=ccfg.num_blocks, num_heads=ccfg.num_heads,
+              d_ff=ccfg.ff_dim, kernel_size=ccfg.kernel_size,
+              dropout=ccfg.dropout)
+    kw.update(overrides)
+    return ComplexConformer(**kw)
