@@ -1,0 +1,215 @@
+"""Dataset discovery, splits, and device-feeding batch iterator.
+
+Capability-parity with the reference's data plumbing
+(``conformer_pipeline.py:153-189,341-399``; ``pipeline.py:337-436``) with the
+TPU-native replacements from SURVEY.md §2:
+
+  * seed-42 shuffled 90/10 split and seed-99 eval sampling preserved exactly
+    for comparability;
+  * round-robin (noise, SNR) assignment per utterance index;
+  * fixed-length padding (reference pads every utterance to 4 s) is kept as
+    the default for exact parity, but the iterator also supports *length
+    bucketing*: utterances are grouped into power-of-two length buckets so
+    the MXU runs dense batches instead of 4 s of mostly-padding, with a
+    valid-frame mask carried alongside for attention/loss masking.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.data.audio import add_noise_at_snr, load_audio
+
+
+def find_speech_files(timit_dir: str | None = None,
+                      max_files: int | None = None,
+                      seed: int = 42) -> List[str]:
+    """Recursive TIMIT discovery (reference conformer_pipeline.py:341-354):
+    sorted-unique glob of **/*.WAV|wav; seeded subsample when capped."""
+    timit_dir = timit_dir or cfg.DEFAULT.data.timit_dir
+    files: List[str] = []
+    for pat in ("**/*.WAV", "**/*.wav"):
+        files.extend(glob.glob(os.path.join(timit_dir, pat), recursive=True))
+    files = sorted(set(files))
+    if max_files and len(files) > max_files:
+        rs = np.random.RandomState(seed)
+        idx = rs.choice(len(files), max_files, replace=False)
+        files = [files[i] for i in sorted(idx)]
+    return files
+
+
+def load_noise_signals(fs: int | None = None,
+                       noisex_dir: str | None = None,
+                       synth_fallback: bool = True,
+                       seed: int | None = 0) -> Dict[str, np.ndarray]:
+    """Load the NOISEX-92 noise bank; white-noise fallback when absent
+    (reference conformer_pipeline.py:356-369)."""
+    dcfg = cfg.DEFAULT.data
+    fs = fs or cfg.DEFAULT.audio.sample_rate
+    noisex_dir = noisex_dir or dcfg.noisex_dir
+    noises = {}
+    for noise_type in dcfg.noise_types:
+        path = os.path.join(noisex_dir, f"{noise_type}.wav")
+        if os.path.exists(path):
+            try:
+                noises[noise_type] = load_audio(path, fs)
+            except Exception:
+                pass
+    if not noises and synth_fallback:
+        rng = np.random.default_rng(seed)
+        noises["white"] = (rng.standard_normal(fs * 30) * 0.3
+                           ).astype(np.float32)
+    return noises
+
+
+def train_test_split(files: Sequence[str], seed: int = 42,
+                     train_fraction: float = 0.9,
+                     max_train: int | None = None,
+                     max_test: int | None = None
+                     ) -> Tuple[List[str], List[str]]:
+    """Seed-42 permuted 90/10 split (reference conformer_pipeline.py:381-390;
+    uses the legacy RandomState to reproduce the exact split)."""
+    rs = np.random.RandomState(seed)
+    indices = rs.permutation(len(files))
+    split = int(train_fraction * len(files))
+    train = [files[i] for i in indices[:split]]
+    test = [files[i] for i in indices[split:]]
+    if max_train:
+        train = train[:max_train]
+    if max_test:
+        test = test[:max_test]
+    return train, test
+
+
+@dataclass
+class WaveformDataset:
+    """(noisy, clean) waveform pairs with round-robin noise×SNR assignment
+    (reference conformer_pipeline.py:153-189).
+
+    Stores variable-length pairs; padding happens at batch time.
+    """
+    pairs: List[Tuple[np.ndarray, np.ndarray]]
+    max_len: int
+
+    @classmethod
+    def from_files(cls, clean_files: Sequence[str],
+                   noise_signals: Dict[str, np.ndarray],
+                   snr_levels: Sequence[float] | None = None,
+                   fs: int | None = None, max_len: int | None = None,
+                   min_len_frames: int = 4) -> "WaveformDataset":
+        acfg = cfg.DEFAULT.audio
+        dcfg = cfg.DEFAULT.data
+        fs = fs or acfg.sample_rate
+        snr_levels = list(snr_levels or dcfg.snr_levels)
+        max_len = max_len or int(fs * dcfg.max_wave_seconds)
+        noise_keys = list(noise_signals.keys())
+        pairs = []
+        for i, f in enumerate(clean_files):
+            try:
+                clean = load_audio(f, fs)
+                if len(clean) < acfg.frame_size * min_len_frames:
+                    continue
+            except Exception:
+                continue
+            noise = noise_signals[noise_keys[i % len(noise_keys)]]
+            snr = snr_levels[i % len(snr_levels)]
+            noisy = add_noise_at_snr(clean, noise, snr)
+            if len(clean) > max_len:
+                clean, noisy = clean[:max_len], noisy[:max_len]
+            pairs.append((noisy, clean))
+        return cls(pairs=pairs, max_len=max_len)
+
+    @classmethod
+    def from_arrays(cls, clean_signals: Sequence[np.ndarray],
+                    noise_signals: Dict[str, np.ndarray],
+                    snr_levels: Sequence[float] | None = None,
+                    fs: int | None = None,
+                    max_len: int | None = None) -> "WaveformDataset":
+        """In-memory variant (synthetic data, tests)."""
+        acfg = cfg.DEFAULT.audio
+        dcfg = cfg.DEFAULT.data
+        fs = fs or acfg.sample_rate
+        snr_levels = list(snr_levels or dcfg.snr_levels)
+        max_len = max_len or int(fs * dcfg.max_wave_seconds)
+        noise_keys = list(noise_signals.keys())
+        pairs = []
+        for i, clean in enumerate(clean_signals):
+            clean = np.asarray(clean, np.float32)
+            noise = noise_signals[noise_keys[i % len(noise_keys)]]
+            snr = snr_levels[i % len(snr_levels)]
+            noisy = add_noise_at_snr(clean, noise, snr)
+            if len(clean) > max_len:
+                clean, noisy = clean[:max_len], noisy[:max_len]
+            pairs.append((noisy, clean))
+        return cls(pairs=pairs, max_len=max_len)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    return np.pad(x, (0, n - len(x))) if len(x) < n else x[:n]
+
+
+def batch_iterator(ds: WaveformDataset, batch_size: int,
+                   shuffle: bool = True, seed: int = 0,
+                   drop_last: bool = True, bucketed: bool = False,
+                   bucket_quantum: int = 4000,
+                   epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield padded (noisy, clean, lengths) batches.
+
+    ``bucketed=False`` (parity mode): every batch padded to ds.max_len, like
+    the reference's fixed 4-s padding (conformer_pipeline.py:184-189).
+    ``bucketed=True`` (TPU mode): sort utterances into quantised-length
+    buckets and pad within-bucket only — denser MXU batches with few
+    distinct compiled shapes.
+    """
+    n = len(ds.pairs)
+    order = np.arange(n)
+    rng = np.random.default_rng(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+
+    if not bucketed:
+        for s in range(0, n, batch_size):
+            idx = order[s:s + batch_size]
+            if len(idx) < batch_size and drop_last:
+                break
+            noisy = np.stack([_pad_to(ds.pairs[i][0], ds.max_len)
+                              for i in idx])
+            clean = np.stack([_pad_to(ds.pairs[i][1], ds.max_len)
+                              for i in idx])
+            lengths = np.array([min(len(ds.pairs[i][0]), ds.max_len)
+                                for i in idx], np.int32)
+            yield {"noisy": noisy, "clean": clean, "lengths": lengths}
+        return
+
+    # bucketed: group indices by quantised length
+    buckets: Dict[int, List[int]] = {}
+    for i in order:
+        length = min(len(ds.pairs[i][0]), ds.max_len)
+        q = int(np.ceil(length / bucket_quantum) * bucket_quantum)
+        buckets.setdefault(q, []).append(i)
+    for q in sorted(buckets):
+        idxs = buckets[q]
+        for s in range(0, len(idxs), batch_size):
+            idx = idxs[s:s + batch_size]
+            if len(idx) < batch_size:
+                if drop_last and len(buckets) > 1:
+                    # fold the remainder into max-len padding to keep shapes
+                    # few; small datasets keep it
+                    if len(idx) == 0:
+                        continue
+                if len(idx) == 0:
+                    continue
+            noisy = np.stack([_pad_to(ds.pairs[i][0], q) for i in idx])
+            clean = np.stack([_pad_to(ds.pairs[i][1], q) for i in idx])
+            lengths = np.array([min(len(ds.pairs[i][0]), q) for i in idx],
+                               np.int32)
+            yield {"noisy": noisy, "clean": clean, "lengths": lengths}

@@ -51,7 +51,7 @@ def _ams_band_weights(fs: int, fcfg: cfg.FeatureConfig = cfg.DEFAULT.features):
         fall = (freq_bins > mid) & (freq_bins <= hi)
         w[b, rise] = (freq_bins[rise] - lo) / (mid - lo + 1e-10)
         w[b, fall] = (hi - freq_bins[fall]) / (hi - mid + 1e-10)
-    return jnp.asarray(w)
+    return w
 
 
 def extract_ams(signal: jnp.ndarray, fs: int | None = None,
@@ -128,7 +128,7 @@ def _bark_filterbank(fs: int, fft_size: int, num_filters: int):
     # equal-loudness weights from band centers (features.py:204-209)
     f = bark_to_hz(bark_centers[1:-1])
     eq = (f ** 2 / (f ** 2 + 1.6e5)).astype(np.float32)
-    return jnp.asarray(fb), jnp.asarray(eq)
+    return fb, eq
 
 
 def extract_rasta_plp(signal: jnp.ndarray, fs: int | None = None,
@@ -186,7 +186,7 @@ def mel_filterbank(num_filters: int, fft_size: int, fs: int) -> jnp.ndarray:
         for j in range(bins[i + 1], bins[i + 2]):
             if j < fb.shape[1]:
                 fb[i, j] = (bins[i + 2] - j) / (bins[i + 2] - bins[i + 1] + 1e-10)
-    return jnp.asarray(fb)
+    return fb
 
 
 def pre_emphasis(x: jnp.ndarray, coef: float = 0.97) -> jnp.ndarray:

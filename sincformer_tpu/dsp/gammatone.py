@@ -58,7 +58,7 @@ def _fir_bank(num_channels: int, freq_low: float, freq_high: float,
     cfs = erb_space(freq_low, freq_high, num_channels)
     bank = np.stack([gammatone_impulse_response(cf, fs, duration, order)
                      for cf in cfs]).astype(np.float32)
-    return jnp.asarray(bank), cfs
+    return bank, cfs
 
 
 class GammatoneFilterbank:
@@ -107,7 +107,7 @@ class GammatoneFilterbank:
         x2 = x.reshape((-1, 1, n))                       # (B, 1, N)
         k = self.fir.shape[-1]
         # XLA conv is cross-correlation — flip taps for true convolution
-        w = self.fir[:, None, ::-1]                       # (C, 1, K) OIW
+        w = jnp.asarray(self.fir[:, None, ::-1].copy())   # (C, 1, K) OIW
         y = jax.lax.conv_general_dilated(
             x2, w,
             window_strides=(1,),

@@ -21,11 +21,13 @@ from sincformer_tpu.utils.signal import (frame_signal, hann_window,
                                          num_frames, overlap_add)
 
 
-def _padded_window(window: jnp.ndarray, n_fft: int) -> jnp.ndarray:
-    """Center-pad a win_length window to n_fft (torch.stft behaviour)."""
+def _padded_window(window, n_fft: int) -> np.ndarray:
+    """Center-pad a win_length window to n_fft (torch.stft behaviour).
+    Host NumPy: windows are compile-time constants, never traced values."""
+    window = np.asarray(window, np.float32)
     win_length = window.shape[0]
     left = (n_fft - win_length) // 2
-    return jnp.pad(window, (left, n_fft - win_length - left))
+    return np.pad(window, (left, n_fft - win_length - left))
 
 
 def stft(x: jnp.ndarray, n_fft: int = 256, hop: int = 80,
@@ -46,7 +48,7 @@ def stft(x: jnp.ndarray, n_fft: int = 256, hop: int = 80,
     """
     if window is None:
         window = hann_window(win_length, periodic=True)
-    w = _padded_window(window.astype(jnp.float32), n_fft)
+    w = _padded_window(window, n_fft)
     if center:
         pad = n_fft // 2
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
@@ -72,13 +74,13 @@ def istft(spec: jnp.ndarray, n_fft: int = 256, hop: int = 80,
     """
     if window is None:
         window = hann_window(win_length, periodic=True)
-    w = _padded_window(window.astype(jnp.float32), n_fft)
+    w = _padded_window(window, n_fft)
     t = spec.shape[-2]
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * w  # (..., T, n_fft)
     total = (t - 1) * hop + n_fft
     y = overlap_add(frames, hop, total)
     # window-square normalisation
-    wsq = jnp.tile(w * w, (t, 1))
+    wsq = jnp.tile(jnp.asarray(w * w), (t, 1))
     norm = overlap_add(wsq, hop, total)
     y = y / jnp.maximum(norm, eps)
     if center:

@@ -1,0 +1,279 @@
+"""DCSE training/inference pipeline — the wired `--pipeline conformer` path.
+
+Capability-parity with the reference ``ConformerPipeline``
+(``training/conformer_pipeline.py:308-685``): AdamW(5e-4, β=(0.9,0.98),
+wd=0.01), 5-epoch linear warmup + cosine to 1%, grad-clip 5.0, NaN-skip
+batches, best-by-val-loss checkpointing, SI-SNR + 0.5·L1-mag + MR-STFT loss.
+
+TPU-first structure: STFT, model, iSTFT and all three losses live inside ONE
+jitted train step (the reference round-trips tensors between host STFT calls
+and the model); optional data-parallel execution over a ``Mesh`` by sharding
+the batch axis — XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.data.loader import (WaveformDataset, batch_iterator,
+                                        find_speech_files,
+                                        load_noise_signals, train_test_split)
+from sincformer_tpu.dsp.stft import istft, stft
+from sincformer_tpu.models.dcse import SpeechEnhancer, default_speech_enhancer
+from sincformer_tpu.parallel.mesh import make_mesh, shard_batch
+from sincformer_tpu.train.losses import (multi_resolution_stft_loss,
+                                         si_snr_loss)
+from sincformer_tpu.train.state import (TrainState, guard_nan_update,
+                                        make_adamw, restore_checkpoint,
+                                        save_checkpoint)
+
+
+class DCSEPipeline:
+    """Train / infer the DCSE SpeechEnhancer end-to-end on device."""
+
+    def __init__(self, dcfg: cfg.DCSEConfig = cfg.DEFAULT.dcse,
+                 acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
+                 mesh=None, model: Optional[SpeechEnhancer] = None,
+                 model_dir: str | None = None, seed: int = 0):
+        self.dcfg = dcfg
+        self.acfg = acfg
+        self.fs = acfg.sample_rate
+        self.mesh = mesh
+        self.model = model or default_speech_enhancer(dcfg, acfg)
+        self.model_dir = model_dir or cfg.DEFAULT.data.model_dir
+        self.seed = seed
+        self.state: Optional[TrainState] = None
+        self._enhance_jit = {}
+        os.makedirs(self.model_dir, exist_ok=True)
+
+    # ── data ────────────────────────────────────────────────────────────
+
+    def prepare_data(self, max_train: int | None = None,
+                     max_test: int | None = None
+                     ) -> Tuple[WaveformDataset, WaveformDataset]:
+        """TIMIT discovery → seed-42 split → round-robin noise×SNR mixing
+        (reference conformer_pipeline.py:371-399)."""
+        files = find_speech_files()
+        if not files:
+            raise RuntimeError(
+                f"No speech files in {cfg.DEFAULT.data.timit_dir}")
+        train_files, test_files = train_test_split(
+            files, max_train=max_train, max_test=max_test)
+        noises = load_noise_signals(self.fs)
+        train_ds = WaveformDataset.from_files(train_files, noises,
+                                              fs=self.fs)
+        test_ds = WaveformDataset.from_files(test_files, noises, fs=self.fs)
+        return train_ds, test_ds
+
+    # ── core steps ──────────────────────────────────────────────────────
+
+    def _loss_fn(self, params, noisy, clean, rng, train: bool):
+        n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
+                             self.acfg.frame_size)
+        noisy_spec = stft(noisy, n_fft, hop, frame)
+        clean_spec = stft(clean, n_fft, hop, frame)
+        kwargs = {}
+        if train:
+            kwargs = {"rngs": {"dropout": rng}}
+        enh_r, enh_i, _mask = self.model.apply(
+            params, noisy_spec.real, noisy_spec.imag,
+            deterministic=not train, **kwargs)
+        enh_wav = istft(enh_r + 1j * enh_i, n_fft, hop, frame,
+                        length=clean.shape[-1])
+        loss_sisnr = si_snr_loss(enh_wav, clean)
+        enh_mag = jnp.sqrt(enh_r ** 2 + enh_i ** 2 + 1e-8)
+        clean_mag = jnp.sqrt(clean_spec.real ** 2
+                             + clean_spec.imag ** 2 + 1e-8)
+        loss_mag = jnp.mean(jnp.abs(enh_mag - clean_mag))
+        loss_stft = multi_resolution_stft_loss(enh_wav, clean)
+        total = (loss_sisnr + self.dcfg.mag_loss_weight * loss_mag
+                 + loss_stft)
+        return total, loss_sisnr
+
+    def init_state(self, epochs: int, steps_per_epoch: int,
+                   example_len: int | None = None) -> TrainState:
+        example_len = example_len or int(self.fs
+                                         * cfg.DEFAULT.data.max_wave_seconds)
+        spec = stft(jnp.zeros((1, example_len)), self.acfg.fft_size,
+                    self.acfg.hop_size, self.acfg.frame_size)
+        params = self.model.init(jax.random.PRNGKey(self.seed),
+                                 spec.real, spec.imag)
+        tx = make_adamw(self.dcfg.lr, epochs, steps_per_epoch,
+                        self.dcfg.betas, self.dcfg.weight_decay,
+                        self.dcfg.grad_clip)
+        self.state = TrainState.create(apply_fn=self.model.apply,
+                                       params=params, tx=tx,
+                                       nan_count=jnp.zeros((), jnp.int32))
+        return self.state
+
+    def _make_train_step(self):
+        loss_fn = self._loss_fn
+
+        @jax.jit
+        def train_step(state: TrainState, noisy, clean, rng):
+            (loss, neg_sisnr), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, noisy, clean, rng, True),
+                has_aux=True)(state.params)
+            grads, is_bad = guard_nan_update(grads, loss)
+            new_state = state.apply_gradients(grads=grads)
+            new_state = new_state.replace(
+                nan_count=state.nan_count + is_bad.astype(jnp.int32))
+            return new_state, loss, -neg_sisnr
+
+        return train_step
+
+    def _make_eval_step(self):
+        loss_fn = self._loss_fn
+
+        @jax.jit
+        def eval_step(params, noisy, clean):
+            loss, neg_sisnr = loss_fn(params, noisy, clean,
+                                      jax.random.PRNGKey(0), False)
+            return loss, -neg_sisnr
+
+        return eval_step
+
+    # ── training loop ───────────────────────────────────────────────────
+
+    def train(self, train_ds: WaveformDataset, test_ds: WaveformDataset,
+              epochs: int | None = None, batch_size: int | None = None,
+              verbose: bool = True, bucketed: bool = False):
+        """Full training run with best-model checkpointing."""
+        epochs = epochs or self.dcfg.epochs
+        batch_size = batch_size or self.dcfg.batch_size
+        steps_per_epoch = max(1, len(train_ds) // batch_size)
+
+        if self.state is None:
+            self.init_state(epochs, steps_per_epoch,
+                            example_len=train_ds.max_len)
+        train_step = self._make_train_step()
+        eval_step = self._make_eval_step()
+        key = jax.random.PRNGKey(self.seed + 1)
+
+        best_val = float("inf")
+        history = []
+        for epoch in range(epochs):
+            t0 = time.time()
+            tr_loss = tr_sisnr = 0.0
+            n_b = 0
+            for batch in batch_iterator(train_ds, batch_size, shuffle=True,
+                                        seed=self.seed, epoch=epoch,
+                                        bucketed=bucketed):
+                key, sub = jax.random.split(key)
+                noisy = jnp.asarray(batch["noisy"])
+                clean = jnp.asarray(batch["clean"])
+                if self.mesh is not None:
+                    sharded = shard_batch(self.mesh,
+                                          {"noisy": noisy, "clean": clean})
+                    noisy, clean = sharded["noisy"], sharded["clean"]
+                self.state, loss, sisnr = train_step(self.state, noisy,
+                                                     clean, sub)
+                tr_loss += float(loss)
+                tr_sisnr += float(sisnr)
+                n_b += 1
+            tr_loss /= max(n_b, 1)
+            tr_sisnr /= max(n_b, 1)
+
+            va_loss = va_sisnr = 0.0
+            n_v = 0
+            for batch in batch_iterator(test_ds, batch_size, shuffle=False,
+                                        drop_last=False, bucketed=bucketed):
+                loss, sisnr = eval_step(self.state.params,
+                                        jnp.asarray(batch["noisy"]),
+                                        jnp.asarray(batch["clean"]))
+                if np.isfinite(float(loss)):
+                    va_loss += float(loss)
+                    va_sisnr += float(sisnr)
+                    n_v += 1
+            va_loss /= max(n_v, 1)
+            va_sisnr /= max(n_v, 1)
+
+            improved = va_loss < best_val
+            if improved:
+                best_val = va_loss
+                self.save_model("best_conformer")
+            history.append({"epoch": epoch, "train_loss": tr_loss,
+                            "val_loss": va_loss, "val_sisnr": va_sisnr})
+            if verbose:
+                print(f"  Epoch {epoch + 1:3d}/{epochs} | "
+                      f"Train: {tr_loss:.4f} (SI-SNR: {tr_sisnr:+.2f}) | "
+                      f"Val: {va_loss:.4f} (SI-SNR: {va_sisnr:+.2f}) | "
+                      f"{time.time() - t0:.1f}s {'*' if improved else ''}")
+        if verbose:
+            print(f"\n  Best validation loss: {best_val:.4f}")
+        return history
+
+    # ── model I/O ───────────────────────────────────────────────────────
+
+    def save_model(self, name: str = "conformer_final"):
+        if self.state is None:
+            return
+        return save_checkpoint(os.path.join(self.model_dir, name),
+                               self.state, step=int(self.state.step))
+
+    def load_model(self, path: str | None = None):
+        """Restore params (full state) from an Orbax checkpoint dir."""
+        if path is None:
+            for name in ("conformer_final", "best_conformer"):
+                base = os.path.join(self.model_dir, name)
+                if os.path.isdir(base):
+                    steps = sorted(d for d in os.listdir(base)
+                                   if d.startswith("step_")
+                                   and not d.endswith(".json"))
+                    if steps:
+                        path = os.path.join(base, steps[-1])
+                        break
+        if path is None:
+            raise FileNotFoundError("no conformer checkpoint found")
+        if self.state is None:
+            self.init_state(epochs=1, steps_per_epoch=1)
+        self.state = restore_checkpoint(path, self.state)
+        return path
+
+    # ── inference ───────────────────────────────────────────────────────
+
+    def _enhance_fn(self, padded_len: int):
+        if padded_len not in self._enhance_jit:
+            n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
+                                 self.acfg.frame_size)
+            model = self.model
+
+            @jax.jit
+            def fn(params, wav):
+                spec = stft(wav, n_fft, hop, frame)
+                er, ei, _ = model.apply(params, spec.real, spec.imag,
+                                        deterministic=True)
+                return istft(er + 1j * ei, n_fft, hop, frame,
+                             length=wav.shape[-1])
+
+            self._enhance_jit[padded_len] = fn
+        return self._enhance_jit[padded_len]
+
+    def enhance_signal(self, noisy_signal: np.ndarray,
+                       pad_quantum: int = 4000) -> np.ndarray:
+        """Enhance one waveform (reference conformer_pipeline.py:653-685).
+        Input is right-padded to a quantised length so repeated calls reuse a
+        handful of compiled shapes."""
+        if self.state is None:
+            raise RuntimeError("No model loaded.")
+        n = len(noisy_signal)
+        padded = int(np.ceil(n / pad_quantum) * pad_quantum)
+        wav = np.zeros((1, padded), np.float32)
+        wav[0, :n] = noisy_signal
+        out = self._enhance_fn(padded)(self.state.params, jnp.asarray(wav))
+        return np.asarray(out[0, :n], np.float32)
+
+    def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
+        """Batched enhancement (B, N) → (B, N) — the grid-eval fast path."""
+        if self.state is None:
+            raise RuntimeError("No model loaded.")
+        out = self._enhance_fn(noisy.shape[-1])(self.state.params,
+                                                jnp.asarray(noisy))
+        return np.asarray(out, np.float32)

@@ -26,8 +26,7 @@ def hamming_window(n: int, periodic: bool = False) -> jnp.ndarray:
     """
     denom = n if periodic else n - 1
     k = np.arange(n)
-    return jnp.asarray(0.54 - 0.46 * np.cos(2.0 * np.pi * k / denom),
-                       dtype=jnp.float32)
+    return (0.54 - 0.46 * np.cos(2.0 * np.pi * k / denom)).astype(np.float32)
 
 
 def hann_window(n: int, periodic: bool = True) -> jnp.ndarray:
@@ -39,8 +38,7 @@ def hann_window(n: int, periodic: bool = True) -> jnp.ndarray:
     """
     denom = n if periodic else n - 1
     k = np.arange(n)
-    return jnp.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * k / denom),
-                       dtype=jnp.float32)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / denom)).astype(np.float32)
 
 
 # ─── Framing ─────────────────────────────────────────────────────────────────
@@ -112,7 +110,7 @@ def dct_matrix(n: int, n_out: int | None = None) -> jnp.ndarray:
     # scipy ortho norm: f0 = sqrt(1/(4N)), fk = sqrt(1/(2N))
     d = d * np.where(k == 0, np.sqrt(1.0 / (4.0 * n)), np.sqrt(1.0 / (2.0 * n)))
     del scale
-    return jnp.asarray(d, dtype=jnp.float32)
+    return d.astype(np.float32)
 
 
 def dct_ortho(x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
