@@ -1,0 +1,50 @@
+"""Correlation-Phase Estimation Agent — BiLSTM → {ρ̂s, ρ̂n, φ̂1, φ̂2}.
+
+Capability-parity with the reference (``agents/cpea.py:22-115``): a 2-layer
+bidirectional LSTM over the PA latent, four heads (sigmoid correlations,
+tanh·π phases), replacing the oracle Eq. 6-7 quantities at inference.
+
+TPU note: the recurrence is a ``lax.scan`` per direction (flax ``nn.RNN``),
+vectorised over batch and hidden dims; sequence lengths here are ~100 frames
+per second of audio so the scan is short. A bidirectional attention/SSM
+drop-in could replace it later without changing the interface.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class CorrelationPhaseEstimationAgent(nn.Module):
+    """z (B, D, T) or (B, T, D) → dict of (B, T, output_channels)."""
+
+    input_dim: int = 256
+    hidden_size: int = 128
+    num_layers: int = 2
+    output_channels: int = 64
+
+    @nn.compact
+    def __call__(self, z_t: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if z_t.ndim == 3 and z_t.shape[-1] != self.input_dim:
+            z_t = jnp.swapaxes(z_t, 1, 2)                # (B, T, D)
+        x = z_t
+        for layer in range(self.num_layers):
+            fwd = nn.RNN(nn.LSTMCell(self.hidden_size),
+                         name=f"lstm_fwd_{layer}")(x)
+            bwd = nn.RNN(nn.LSTMCell(self.hidden_size), reverse=True,
+                         keep_order=True, name=f"lstm_bwd_{layer}")(x)
+            x = jnp.concatenate([fwd, bwd], axis=-1)     # (B, T, 2H)
+
+        rho_s = nn.sigmoid(nn.Dense(self.output_channels,
+                                    name="rho_s_head")(x))
+        rho_n = nn.sigmoid(nn.Dense(self.output_channels,
+                                    name="rho_n_head")(x))
+        phi1 = jnp.tanh(nn.Dense(self.output_channels,
+                                 name="phi1_head")(x)) * np.pi
+        phi2 = jnp.tanh(nn.Dense(self.output_channels,
+                                 name="phi2_head")(x)) * np.pi
+        return {"rho_s": rho_s, "rho_n": rho_n, "phi1": phi1, "phi2": phi2}

@@ -1,0 +1,93 @@
+"""Perception Agent — SincNet learned front-end with uncertainty.
+
+Capability-parity with the reference (``agents/perception.py:132-254``):
+SincConv(64) → GroupNorm/GELU → 3 residual stride-2 conv blocks → stride-2
+downsample (16× total) → complex latent (z_real, z_imag) + σ from a clamped
+log-variance head.
+
+Integration fix (the reference never wired PA, SURVEY.md §3.6): 16×
+downsampling gives a 500 Hz latent rate while the STFT grid is 100 Hz; a
+final 5× average pool aligns the latent to the 80-sample STFT hop so the
+agents can be fused per-frame downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.agents.sincnet import SincConv1d
+
+
+class _ConvBlock(nn.Module):
+    """Residual conv block: main(7-conv stride s → GN → GELU → 3-conv → GN)
+    + 1×1-projected skip, then GELU (reference perception.py:121-129,
+    192-206). Layout inside: (B, T, C) — flax Conv is channels-last."""
+    out_ch: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        main = nn.Conv(self.out_ch, (7,), strides=(self.stride,),
+                       padding="SAME", name="conv1")(x)
+        main = nn.GroupNorm(num_groups=min(16, self.out_ch), name="gn1")(main)
+        main = nn.gelu(main)
+        main = nn.Conv(self.out_ch, (3,), padding="SAME", name="conv2")(main)
+        main = nn.GroupNorm(num_groups=min(16, self.out_ch), name="gn2")(main)
+        skip = nn.Conv(self.out_ch, (1,), strides=(self.stride,),
+                       name="skip")(x)
+        skip = nn.GroupNorm(num_groups=min(16, self.out_ch),
+                            name="gn_skip")(skip)
+        return nn.gelu(main + skip)
+
+
+class PerceptionAgent(nn.Module):
+    """(B, N) waveform → (z_real, z_imag, σ): (B, D, T'), (B, D, T'), (B, 1, T')."""
+
+    encoder_channels: int = 256
+    sample_rate: int = 8000
+    sinc_kernel_size: int = 251
+    align_hop: int = 80           # pool latent to the STFT frame rate
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        d = self.encoder_channels
+        x = SincConv1d(out_channels=d // 4,
+                       kernel_size=self.sinc_kernel_size,
+                       sample_rate=self.sample_rate,
+                       name="sinc")(waveform)            # (B, D/4, N)
+        x = jnp.swapaxes(x, 1, 2)                        # (B, N, D/4)
+        x = nn.GroupNorm(num_groups=8, name="sinc_norm")(x)
+        x = nn.gelu(x)
+
+        # progressive stride-2 stack: D/4 → D/2 → D/2 → D (perception.py:159-165)
+        for i, ch in enumerate([d // 2, d // 2, d]):
+            x = _ConvBlock(ch, stride=2, name=f"block_{i}")(x)
+        # final stride-2 downsample (16× total, perception.py:167-171)
+        x = nn.Conv(d, (5,), strides=(2,), padding="SAME",
+                    name="downsample")(x)
+        x = nn.GroupNorm(num_groups=16, name="down_norm")(x)
+        x = nn.gelu(x)
+
+        # 500 Hz → 100 Hz: align to the STFT hop (integration fix)
+        pool = self.align_hop // 16
+        if pool > 1:
+            x = nn.avg_pool(x, window_shape=(pool,), strides=(pool,))
+
+        z_real = nn.GroupNorm(num_groups=16, name="gn_real")(
+            nn.Conv(d, (1,), name="real_proj")(x))
+        z_imag = nn.GroupNorm(num_groups=16, name="gn_imag")(
+            nn.Conv(d, (1,), name="imag_proj")(x))
+
+        u = nn.Conv(d // 4, (3,), padding="SAME", name="unc1")(x)
+        u = nn.gelu(u)
+        log_var = nn.Conv(1, (1,), name="unc2")(u)
+        sigma = jnp.exp(0.5 * jnp.clip(log_var, -10.0, 10.0))
+
+        # return channels-first like the reference contract
+        return (jnp.swapaxes(z_real, 1, 2), jnp.swapaxes(z_imag, 1, 2),
+                jnp.swapaxes(sigma, 1, 2))

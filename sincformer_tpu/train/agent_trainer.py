@@ -1,0 +1,344 @@
+"""Sincformer-metacog training pipeline — the `--pipeline agents` path.
+
+Trains the WIRED multi-agent model (agents/metacog.py) with the 3-stage
+curriculum (train/curriculum.py), combining:
+
+  stage 1: DCSE triple loss (SI-SNR + 0.5·L1-mag + MR-STFT), high SNRs only
+  stage 2: + perceptual-STOI loss, progressively wider SNR range
+  stage 3: + VQ loss active (HARD routing trains), full SNR grid
+
+The adversarial loss (train/adversarial.py) is available behind
+``use_adversarial`` with its own discriminator optimizer.
+
+The SNR curriculum RE-MIXES the dataset each epoch from clean sources at the
+stage's allowed SNRs (the reference's CurriculumScheduler prescribes this but
+was never wired, SURVEY.md §0.2).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.agents.metacog import SincformerMetacog
+from sincformer_tpu.data.audio import add_noise_at_snr
+from sincformer_tpu.data.loader import WaveformDataset, batch_iterator
+from sincformer_tpu.dsp.stft import istft, stft
+from sincformer_tpu.parallel.mesh import shard_batch
+from sincformer_tpu.train.curriculum import CurriculumScheduler
+from sincformer_tpu.train.losses import (PerceptualSTOILoss,
+                                         multi_resolution_stft_loss,
+                                         si_snr_loss)
+from sincformer_tpu.train.state import (TrainState, guard_nan_update,
+                                        make_adamw, restore_checkpoint,
+                                        save_checkpoint)
+
+
+def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
+                    agcfg: cfg.AgentConfig = cfg.DEFAULT.agents,
+                    vqcfg: cfg.VQConfig = cfg.DEFAULT.vq,
+                    **overrides) -> SincformerMetacog:
+    kw = dict(encoder_channels=agcfg.pa_encoder_channels,
+              cpea_hidden=agcfg.cpea_hidden_size,
+              cpea_layers=agcfg.cpea_num_layers,
+              n_freq=acfg.n_freq,
+              vq_centroids=vqcfg.num_centroids,
+              vq_commitment=vqcfg.commitment_weight,
+              memory_slots=agcfg.memory_slots,
+              sample_rate=acfg.sample_rate,
+              sinc_kernel_size=agcfg.sinc_kernel_size,
+              hop=acfg.hop_size)
+    kw.update(overrides)
+    return SincformerMetacog(**kw)
+
+
+class SincformerPipeline:
+    """Curriculum training for the wired agent stack."""
+
+    def __init__(self, model: Optional[SincformerMetacog] = None,
+                 acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
+                 lcfg: cfg.LossConfig = cfg.DEFAULT.loss,
+                 mesh=None, model_dir: str | None = None, seed: int = 0,
+                 perceptual_weight: float | None = None,
+                 lr: float = 5e-4, grad_clip: float = 5.0):
+        self.acfg = acfg
+        self.fs = acfg.sample_rate
+        self.model = model or default_metacog(acfg)
+        self.mesh = mesh
+        self.model_dir = model_dir or cfg.DEFAULT.data.model_dir
+        self.seed = seed
+        self.lr = lr
+        self.grad_clip = grad_clip
+        # the reference's 10.0 weight (config.py:111) destabilised training;
+        # scaled down by default, overridable for parity experiments
+        self.perceptual_weight = (perceptual_weight
+                                  if perceptual_weight is not None else 1.0)
+        self.vq_weight = lcfg.commitment_weight
+        self.stoi_loss = PerceptualSTOILoss(self.fs, acfg.fft_size)
+        self.state: Optional[TrainState] = None
+        self.curriculum = CurriculumScheduler()
+        self._enhance_jit = {}
+        os.makedirs(self.model_dir, exist_ok=True)
+
+    # ── state ───────────────────────────────────────────────────────────
+
+    def init_state(self, epochs: int, steps_per_epoch: int,
+                   example_len: int = 8000) -> TrainState:
+        wav = jnp.zeros((1, example_len))
+        spec = stft(wav, self.acfg.fft_size, self.acfg.hop_size,
+                    self.acfg.frame_size)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(self.seed),
+             "dropout": jax.random.PRNGKey(self.seed + 1),
+             "routing": jax.random.PRNGKey(self.seed + 2)},
+            wav, spec.real, spec.imag, train=True)
+        params = variables["params"]
+        self.mutable_state = {k: v for k, v in variables.items()
+                              if k in ("maa_stats", "memory_stats")}
+        tx = make_adamw(self.lr, epochs, steps_per_epoch,
+                        grad_clip=self.grad_clip)
+        self.state = TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx,
+            model_state=self.mutable_state,
+            nan_count=jnp.zeros((), jnp.int32))
+        return self.state
+
+    # ── loss ────────────────────────────────────────────────────────────
+
+    def _loss(self, params, model_state, noisy, clean, rng, train: bool,
+              use_perceptual, use_vq):
+        """use_perceptual / use_vq are traced 0/1 floats so one compiled
+        step serves every curriculum stage."""
+        n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
+                             self.acfg.frame_size)
+        noisy_spec = stft(noisy, n_fft, hop, frame)
+        clean_spec = stft(clean, n_fft, hop, frame)
+        rngs = {}
+        if train:
+            r1, r2 = jax.random.split(rng)
+            rngs = {"dropout": r1, "routing": r2}
+        out, new_model_state = self.model.apply(
+            {"params": params, **model_state},
+            noisy, noisy_spec.real, noisy_spec.imag, train=train,
+            rngs=rngs, mutable=["maa_stats", "memory_stats"])
+        enh_r, enh_i = out["enhanced_real"], out["enhanced_imag"]
+        enh_wav = istft(enh_r + 1j * enh_i, n_fft, hop, frame,
+                        length=clean.shape[-1])
+
+        loss_sisnr = si_snr_loss(enh_wav, clean)
+        enh_mag = jnp.sqrt(enh_r ** 2 + enh_i ** 2 + 1e-8)
+        clean_mag = jnp.sqrt(clean_spec.real ** 2 + clean_spec.imag ** 2
+                             + 1e-8)
+        loss_mag = jnp.mean(jnp.abs(enh_mag - clean_mag))
+        loss_stft = multi_resolution_stft_loss(enh_wav, clean)
+        # perceptual STOI expects (B, F, T)
+        loss_stoi = self.stoi_loss(jnp.swapaxes(enh_mag, 1, 2),
+                                   jnp.swapaxes(clean_mag, 1, 2))
+        total = (loss_sisnr + 0.5 * loss_mag + loss_stft
+                 + use_perceptual * self.perceptual_weight * loss_stoi
+                 + use_vq * self.vq_weight * out["vq_loss"])
+        aux = {"sisnr": -loss_sisnr, "stoi_loss": loss_stoi,
+               "vq_loss": out["vq_loss"],
+               "model_state": new_model_state}
+        return total, aux
+
+    def _make_train_step(self):
+        loss_fn = self._loss
+
+        @jax.jit
+        def step(state: TrainState, noisy, clean, rng, use_perceptual,
+                 use_vq):
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, state.model_state, noisy, clean, rng,
+                                  True, use_perceptual, use_vq),
+                has_aux=True)(state.params)
+            grads, is_bad = guard_nan_update(grads, loss)
+            new_state = state.apply_gradients(grads=grads)
+            new_state = new_state.replace(
+                model_state=aux["model_state"],
+                nan_count=state.nan_count + is_bad.astype(jnp.int32))
+            return new_state, loss, aux["sisnr"]
+
+        return step
+
+    def _make_eval_step(self):
+        loss_fn = self._loss
+
+        @jax.jit
+        def step(state: TrainState, noisy, clean):
+            loss, aux = loss_fn(state.params, state.model_state, noisy,
+                                clean, jax.random.PRNGKey(0), False,
+                                jnp.asarray(1.0), jnp.asarray(1.0))
+            return loss, aux["sisnr"]
+
+        return step
+
+    # ── curriculum data ─────────────────────────────────────────────────
+
+    @staticmethod
+    def remix_for_stage(clean_signals: Sequence[np.ndarray],
+                        noises: Dict[str, np.ndarray],
+                        snr_levels: Sequence[float], max_len: int,
+                        epoch: int) -> WaveformDataset:
+        """Re-mix clean sources at the stage's allowed SNRs (rotating the
+        assignment with the epoch for variety)."""
+        keys = list(noises.keys())
+        pairs = []
+        for i, clean in enumerate(clean_signals):
+            clean = np.asarray(clean, np.float32)[:max_len]
+            noise = noises[keys[(i + epoch) % len(keys)]]
+            snr = snr_levels[(i + epoch) % len(snr_levels)]
+            pairs.append((add_noise_at_snr(clean, noise, snr), clean))
+        return WaveformDataset(pairs=pairs, max_len=max_len)
+
+    # ── training loop ───────────────────────────────────────────────────
+
+    def train(self, clean_train: Sequence[np.ndarray],
+              clean_test: Sequence[np.ndarray],
+              noises: Dict[str, np.ndarray],
+              epochs: int | None = None, batch_size: int = 8,
+              max_len: int | None = None, verbose: bool = True,
+              use_curriculum: bool = True) -> List[dict]:
+        """Curriculum training from raw clean sources."""
+        max_len = max_len or int(self.fs * cfg.DEFAULT.data.max_wave_seconds)
+        epochs = epochs or self.curriculum.total_epochs
+        steps_per_epoch = max(1, len(clean_train) // batch_size)
+        if self.state is None:
+            self.init_state(epochs, steps_per_epoch, example_len=max_len)
+        train_step = self._make_train_step()
+        eval_step = self._make_eval_step()
+        key = jax.random.PRNGKey(self.seed + 10)
+
+        best_val = float("inf")
+        history = []
+        last_stage = None
+        for epoch in range(epochs):
+            stage = (self.curriculum.get_stage(epoch) if use_curriculum
+                     else {"stage": 0, "snr_levels": list(
+                         cfg.DEFAULT.data.snr_levels),
+                         "use_vq": True, "loss_type": "all"})
+            if verbose and stage.get("stage") != last_stage:
+                print(f"  → {stage.get('description', 'no curriculum')}")
+                last_stage = stage.get("stage")
+            use_perc = jnp.asarray(
+                1.0 if "perceptual" in stage.get("loss_type", "") else 0.0)
+            use_vq = jnp.asarray(1.0 if stage.get("use_vq") else 0.0)
+
+            train_ds = self.remix_for_stage(clean_train, noises,
+                                            stage["snr_levels"], max_len,
+                                            epoch)
+            test_ds = self.remix_for_stage(clean_test, noises,
+                                           list(cfg.DEFAULT.data.snr_levels),
+                                           max_len, 0)
+            t0 = time.time()
+            tr_loss = tr_sisnr = 0.0
+            n_b = 0
+            for batch in batch_iterator(train_ds, batch_size, shuffle=True,
+                                        seed=self.seed, epoch=epoch):
+                key, sub = jax.random.split(key)
+                noisy = jnp.asarray(batch["noisy"])
+                clean = jnp.asarray(batch["clean"])
+                if self.mesh is not None:
+                    sh = shard_batch(self.mesh,
+                                     {"noisy": noisy, "clean": clean})
+                    noisy, clean = sh["noisy"], sh["clean"]
+                self.state, loss, sisnr = train_step(
+                    self.state, noisy, clean, sub, use_perc, use_vq)
+                tr_loss += float(loss)
+                tr_sisnr += float(sisnr)
+                n_b += 1
+            tr_loss /= max(n_b, 1)
+            tr_sisnr /= max(n_b, 1)
+
+            va_loss = va_sisnr = 0.0
+            n_v = 0
+            for batch in batch_iterator(test_ds, batch_size, shuffle=False,
+                                        drop_last=False):
+                loss, sisnr = eval_step(self.state,
+                                        jnp.asarray(batch["noisy"]),
+                                        jnp.asarray(batch["clean"]))
+                if np.isfinite(float(loss)):
+                    va_loss += float(loss)
+                    va_sisnr += float(sisnr)
+                    n_v += 1
+            va_loss /= max(n_v, 1)
+            va_sisnr /= max(n_v, 1)
+
+            improved = va_loss < best_val
+            if improved:
+                best_val = va_loss
+                self.save_model("best_sincformer")
+            history.append({"epoch": epoch, "stage": stage.get("stage"),
+                            "train_loss": tr_loss, "val_loss": va_loss,
+                            "val_sisnr": va_sisnr})
+            if verbose:
+                print(f"  Epoch {epoch + 1:3d}/{epochs} "
+                      f"[S{stage.get('stage')}] | "
+                      f"Train: {tr_loss:.4f} (SI-SNR: {tr_sisnr:+.2f}) | "
+                      f"Val: {va_loss:.4f} (SI-SNR: {va_sisnr:+.2f}) | "
+                      f"{time.time() - t0:.1f}s {'*' if improved else ''}")
+        return history
+
+    # ── model I/O ───────────────────────────────────────────────────────
+
+    def save_model(self, name: str = "sincformer_final"):
+        if self.state is None:
+            return
+        return save_checkpoint(os.path.join(self.model_dir, name),
+                               self.state, step=int(self.state.step))
+
+    def load_model(self, path: str | None = None):
+        if path is None:
+            for name in ("sincformer_final", "best_sincformer"):
+                base = os.path.join(self.model_dir, name)
+                if os.path.isdir(base):
+                    steps = sorted(d for d in os.listdir(base)
+                                   if d.startswith("step_")
+                                   and not d.endswith(".json"))
+                    if steps:
+                        path = os.path.join(base, steps[-1])
+                        break
+        if path is None:
+            raise FileNotFoundError("no sincformer checkpoint found")
+        if self.state is None:
+            self.init_state(epochs=1, steps_per_epoch=1)
+        self.state = restore_checkpoint(path, self.state)
+        return path
+
+    # ── inference ───────────────────────────────────────────────────────
+
+    def _enhance_fn(self, padded_len: int):
+        if padded_len not in self._enhance_jit:
+            n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
+                                 self.acfg.frame_size)
+            model = self.model
+
+            @jax.jit
+            def fn(params, model_state, wav):
+                spec = stft(wav, n_fft, hop, frame)
+                out = model.apply({"params": params, **model_state},
+                                  wav, spec.real, spec.imag, train=False)
+                return istft(out["enhanced_real"] + 1j * out["enhanced_imag"],
+                             n_fft, hop, frame, length=wav.shape[-1])
+
+            self._enhance_jit[padded_len] = fn
+        return self._enhance_jit[padded_len]
+
+    def enhance_signal(self, noisy_signal: np.ndarray,
+                       pad_quantum: int = 4000) -> np.ndarray:
+        if self.state is None:
+            raise RuntimeError("No model loaded.")
+        n = len(noisy_signal)
+        padded = int(np.ceil(n / pad_quantum) * pad_quantum)
+        wav = np.zeros((1, padded), np.float32)
+        wav[0, :n] = noisy_signal
+        out = self._enhance_fn(padded)(self.state.params,
+                                       self.state.model_state,
+                                       jnp.asarray(wav))
+        return np.asarray(out[0, :n], np.float32)

@@ -1,0 +1,62 @@
+"""End-to-end training of the wired Sincformer metacog stack."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sincformer_tpu.data import synthetic_noise, synthetic_speech
+from sincformer_tpu.train.agent_trainer import (SincformerPipeline,
+                                                default_metacog)
+
+
+def tiny_model():
+    return default_metacog(
+        encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+        d_model=32, msa_blocks=1, num_heads=2, d_ff=64, kernel_size=7,
+        dropout=0.0, memory_slots=4, sinc_kernel_size=65)
+
+
+class TestSincformerTraining:
+    def test_curriculum_training_converges(self, tmp_path):
+        rng = np.random.default_rng(0)
+        clean = [synthetic_speech(0.5) * (0.7 + 0.6 * rng.random())
+                 for _ in range(8)]
+        noises = {"white": synthetic_noise(8000, seed=1)}
+        pipe = SincformerPipeline(model=tiny_model(),
+                                  model_dir=str(tmp_path))
+        # compress the curriculum into 6 epochs (2 per stage)
+        pipe.curriculum.stage1_epochs = 2
+        pipe.curriculum.stage2_epochs = 2
+        pipe.curriculum.stage3_epochs = 2
+        pipe.curriculum.total_epochs = 6
+        hist = pipe.train(clean, clean[:2], noises, epochs=6, batch_size=4,
+                          max_len=4000, verbose=False)
+        assert len(hist) == 6
+        stages = [h["stage"] for h in hist]
+        assert stages == [1, 1, 2, 2, 3, 3]
+        assert all(np.isfinite(h["train_loss"]) for h in hist)
+        assert int(pipe.state.nan_count) == 0
+        # enhancement runs and is finite
+        noisy = clean[0] + 0.3 * rng.standard_normal(len(clean[0])
+                                                     ).astype(np.float32)
+        out = pipe.enhance_signal(noisy)
+        assert out.shape == noisy.shape
+        assert np.all(np.isfinite(out))
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        clean = [synthetic_speech(0.5) for _ in range(4)]
+        noises = {"white": synthetic_noise(8000, seed=2)}
+        pipe = SincformerPipeline(model=tiny_model(),
+                                  model_dir=str(tmp_path))
+        pipe.train(clean, clean[:2], noises, epochs=1, batch_size=2,
+                   max_len=4000, verbose=False, use_curriculum=False)
+        noisy = clean[0] + 0.2 * rng.standard_normal(4000).astype(np.float32)
+        before = pipe.enhance_signal(noisy)
+        path = pipe.save_model("sincformer_final")
+
+        pipe2 = SincformerPipeline(model=tiny_model(),
+                                   model_dir=str(tmp_path))
+        pipe2.load_model()
+        after = pipe2.enhance_signal(noisy)
+        np.testing.assert_allclose(before, after, atol=1e-6)
