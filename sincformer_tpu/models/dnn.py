@@ -69,4 +69,5 @@ def load_rbm_weights(params, rbm_weights: Sequence[Tuple]) -> dict:
             break
         flat[k_kernel] = jnp.asarray(w, jnp.float32)        # (vis, hid)
         flat[k_bias] = jnp.asarray(hb, jnp.float32)
-    return flax.core.freeze(flax.traverse_util.unflatten_dict(flat))
+    # plain dict to match flax>=0.8 init() pytree structure
+    return flax.traverse_util.unflatten_dict(flat)

@@ -1,0 +1,455 @@
+"""Classic DNN pipeline — the `--pipeline dnn` path (original paper).
+
+Capability-parity with the reference ``TrainingPipeline``
+(``training/pipeline.py:296-934``):
+
+  * per-utterance preprocessing: load → mix → AMS/RASTA/MFCC/GFCC features
+    (+±5 context) → oracle mask (IRM/PCIRM/OPT-PCIRM fixed steps), with an
+    md5-keyed ``.npz`` disk cache (pipeline.py:101-210);
+  * frame-level dataset with z-score normalisation (train stats reused for
+    test), NaN scrub, ±10 clip (pipeline.py:217-289);
+  * optional stacked-RBM pretraining on ≤50k sigmoid-squashed frames
+    (pipeline.py:712-759) — here a jitted CD-k scan on the MXU;
+  * Adam + ReduceLROnPlateau, grad-clip 5.0, NaN-epoch counting with full
+    model+optimizer re-init at 0.1×LR after 3 consecutive NaN epochs
+    (pipeline.py:594-609);
+  * ``enhance_signal``: features → DNN → 64-ch gammatone mask → linear
+    interpolation onto 129 STFT bins → masked uncentered iSTFT with hann²
+    normalisation (pipeline.py:819-934).
+
+TPU-first differences: feature extraction and the entire train epoch run as
+jitted device computations (the reference fans out Python workers because
+its per-frame NumPy loops are slow; one device pass replaces a worker pool).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sincformer_tpu import config as cfg
+from sincformer_tpu.data.audio import add_noise_at_snr, load_audio
+from sincformer_tpu.data.loader import find_speech_files, load_noise_signals
+from sincformer_tpu.dsp.features import FeatureExtractor
+from sincformer_tpu.dsp.gammatone import GammatoneFilterbank, erb_space
+from sincformer_tpu.dsp.stft import istft_uncentered, stft_uncentered
+from sincformer_tpu.masks import (compute_correlation_coefficients, compute_irm,
+                                  compute_pcirm, compute_phase_differences,
+                                  compute_snr_boundaries, quantize_pcirm)
+from sincformer_tpu.models.dnn import (SpeechEnhancementDNN, create_dnn,
+                                       load_rbm_weights)
+from sincformer_tpu.models.rbm import pretrain_dnn_with_rbm
+from sincformer_tpu.train.state import TrainState, guard_nan_update
+import optax
+
+
+def compute_oracle_mask(clean_m, clean_p, noise_m, noise_p, noisy_m, noisy_p,
+                        mask_type: str):
+    """Oracle target from T-F magnitudes/phases (pipeline.py:173-194)."""
+    if mask_type == "irm":
+        return compute_irm(clean_m, noise_m)
+    rho_s, rho_n = compute_correlation_coefficients(noisy_m, clean_m, noise_m)
+    phi1, phi2 = compute_phase_differences(noisy_p, clean_p, noise_p)
+    pcirm = compute_pcirm(clean_m, noise_m, rho_s, rho_n, phi1, phi2)
+    if mask_type == "pcirm":
+        return pcirm
+    if mask_type == "opt_pcirm":
+        steps, _ = compute_snr_boundaries()
+        return quantize_pcirm(pcirm, steps)
+    return compute_irm(clean_m, noise_m)
+
+
+def process_single_utterance(clean: np.ndarray, noise: np.ndarray,
+                             snr_db: float, mask_type: str,
+                             fe: FeatureExtractor,
+                             gfb: GammatoneFilterbank,
+                             cache_dir: Optional[str] = None,
+                             cache_key: Optional[str] = None
+                             ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """load → mix → features → oracle mask, with .npz caching
+    (pipeline.py:101-210). Returns (features (T, 594), mask (T, 64))."""
+    if cache_dir and cache_key:
+        cache_file = os.path.join(cache_dir, f"{cache_key}.npz")
+        if os.path.exists(cache_file):
+            try:
+                data = np.load(cache_file)
+                return data["features"], data["mask"]
+            except Exception:
+                pass  # corrupted cache → recompute
+    acfg = cfg.DEFAULT.audio
+    if len(clean) < acfg.frame_size * 2:
+        return None
+    noisy = add_noise_at_snr(clean, noise, snr_db)
+
+    raw = fe.extract_frame_features(jnp.asarray(noisy))
+    features = fe.add_context(raw)
+
+    noise_trim = noise[:len(clean)]
+    if len(noise_trim) < len(clean):
+        noise_trim = np.pad(noise_trim, (0, len(clean) - len(noise_trim)))
+    clean_m, clean_p = gfb.get_tf_magnitudes(jnp.asarray(clean))
+    noise_m, noise_p = gfb.get_tf_magnitudes(jnp.asarray(noise_trim))
+    noisy_m, noisy_p = gfb.get_tf_magnitudes(jnp.asarray(noisy))
+
+    min_f = min(clean_m.shape[1], features.shape[0])
+    mask = compute_oracle_mask(clean_m[:, :min_f], clean_p[:, :min_f],
+                               noise_m[:, :min_f], noise_p[:, :min_f],
+                               noisy_m[:, :min_f], noisy_p[:, :min_f],
+                               mask_type)
+    features_np = np.asarray(features[:min_f], np.float32)
+    mask_np = np.asarray(mask.T, np.float32)            # (T, 64)
+
+    if cache_dir and cache_key:
+        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            np.savez_compressed(
+                os.path.join(cache_dir, f"{cache_key}.npz"),
+                features=features_np, mask=mask_np)
+        except Exception:
+            pass
+    return features_np, mask_np
+
+
+class FrameDataset:
+    """Concatenated frame-level (features, mask) pairs with z-score
+    normalisation (pipeline.py:217-289)."""
+
+    def __init__(self, features_list: Sequence[np.ndarray],
+                 masks_list: Sequence[np.ndarray],
+                 feat_mean: Optional[np.ndarray] = None,
+                 feat_std: Optional[np.ndarray] = None):
+        feats, masks = [], []
+        for f, m in zip(features_list, masks_list):
+            n = min(f.shape[0], m.shape[0])
+            if n > 0:
+                feats.append(f[:n])
+                masks.append(m[:n])
+        if feats:
+            raw = np.nan_to_num(np.concatenate(feats, 0),
+                                nan=0.0, posinf=0.0, neginf=0.0)
+            raw_masks = np.nan_to_num(np.concatenate(masks, 0),
+                                      nan=0.0, posinf=1.0, neginf=0.0)
+            if feat_mean is None:
+                self.feat_mean = raw.mean(0).astype(np.float32)
+                self.feat_std = raw.std(0).astype(np.float32)
+                self.feat_std[self.feat_std < 1e-6] = 1.0
+            else:
+                self.feat_mean = feat_mean
+                self.feat_std = feat_std
+            normalized = np.clip((raw - self.feat_mean) / self.feat_std,
+                                 -10.0, 10.0)
+            self.features = normalized.astype(np.float32)
+            self.masks = np.clip(raw_masks, 0.0, 1.0).astype(np.float32)
+        else:
+            self.features = np.zeros((0, 1), np.float32)
+            self.masks = np.zeros((0, 1), np.float32)
+            self.feat_mean = np.zeros(1, np.float32)
+            self.feat_std = np.ones(1, np.float32)
+
+    def __len__(self):
+        return self.features.shape[0]
+
+
+class DNNPipeline:
+    """Feature-domain DNN mask-estimation pipeline."""
+
+    def __init__(self, mask_type: str = "pcirm",
+                 use_rbm_pretrain: bool = True,
+                 model_dir: str | None = None,
+                 cache_dir: str | None = None, seed: int = 0,
+                 dcfg: cfg.DNNConfig = cfg.DEFAULT.dnn,
+                 acfg: cfg.AudioConfig = cfg.DEFAULT.audio):
+        self.mask_type = mask_type
+        self.use_rbm = use_rbm_pretrain
+        self.dcfg = dcfg
+        self.acfg = acfg
+        self.fs = acfg.sample_rate
+        self.seed = seed
+        self.model_dir = model_dir or cfg.DEFAULT.data.model_dir
+        self.cache_dir = cache_dir or cfg.DEFAULT.data.cache_dir
+        self.fe = FeatureExtractor(fs=self.fs)
+        self.gfb = GammatoneFilterbank(sample_rate=self.fs)
+        self.model: Optional[SpeechEnhancementDNN] = None
+        self.state: Optional[TrainState] = None
+        self.feat_mean = None
+        self.feat_std = None
+        self.feature_dim = self.fe.feature_dim
+        self.mask_dim = self.gfb.num_channels
+        self._lr = dcfg.learning_rate
+        os.makedirs(self.model_dir, exist_ok=True)
+
+    # ── data prep ───────────────────────────────────────────────────────
+
+    def prepare_arrays(self, clean_signals: Sequence[np.ndarray],
+                       noises: Dict[str, np.ndarray],
+                       snr_levels: Sequence[float] | None = None,
+                       test_fraction: float = 0.1,
+                       use_cache: bool = False
+                       ) -> Tuple[FrameDataset, FrameDataset]:
+        """In-memory data prep: round-robin (noise, SNR) per utterance
+        (pipeline.py:423-436), 90/10 split."""
+        snr_levels = list(snr_levels or cfg.DEFAULT.data.snr_levels)
+        keys = list(noises.keys())
+        feats, masks = [], []
+        for i, clean in enumerate(clean_signals):
+            noise = noises[keys[i % len(keys)]]
+            snr = snr_levels[i % len(snr_levels)]
+            ck = None
+            if use_cache:
+                h = hashlib.md5(np.asarray(clean).tobytes()).hexdigest()[:16]
+                ck = f"{h}_{snr}_{self.mask_type}"
+            out = process_single_utterance(
+                np.asarray(clean, np.float32), noise, snr, self.mask_type,
+                self.fe, self.gfb,
+                self.cache_dir if use_cache else None, ck)
+            if out is not None:
+                feats.append(out[0])
+                masks.append(out[1])
+        split = max(1, int(len(feats) * (1 - test_fraction)))
+        train = FrameDataset(feats[:split], masks[:split])
+        self.feat_mean, self.feat_std = train.feat_mean, train.feat_std
+        test = FrameDataset(feats[split:], masks[split:],
+                            train.feat_mean, train.feat_std)
+        return train, test
+
+    def prepare_data(self, max_train: int | None = None,
+                     max_test: int | None = None):
+        """Disk-backed data prep from TIMIT/NOISEX (pipeline.py:378-476)."""
+        files = find_speech_files()
+        if not files:
+            raise RuntimeError(
+                f"No speech files in {cfg.DEFAULT.data.timit_dir}")
+        rs = np.random.RandomState(cfg.DEFAULT.data.train_split_seed)
+        idx = rs.permutation(len(files))
+        split = int(0.9 * len(files))
+        train_files = [files[i] for i in idx[:split]][:max_train]
+        test_files = [files[i] for i in idx[split:]][:max_test]
+        noises = load_noise_signals(self.fs)
+        signals = []
+        for f in train_files + test_files:
+            try:
+                signals.append(load_audio(f, self.fs))
+            except Exception:
+                continue
+        frac = len(test_files) / max(len(train_files) + len(test_files), 1)
+        return self.prepare_arrays(signals, noises, test_fraction=frac,
+                                   use_cache=True)
+
+    # ── training ────────────────────────────────────────────────────────
+
+    def _init_model_state(self, lr: float, key) -> TrainState:
+        self.model = create_dnn(self.feature_dim, self.mask_dim, self.dcfg)
+        params = self.model.init(key, jnp.zeros((1, self.feature_dim)))
+        tx = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+        return TrainState.create(apply_fn=self.model.apply, params=params,
+                                 tx=tx, nan_count=jnp.zeros((), jnp.int32))
+
+    def _rbm_pretrain(self, train_ds: FrameDataset, verbose: bool):
+        """Stacked CD-1 on sigmoid-squashed frames (pipeline.py:712-759)."""
+        n = min(len(train_ds), cfg.DEFAULT.rbm.max_samples)
+        data = 1.0 / (1.0 + np.exp(-np.clip(train_ds.features[:n],
+                                            -10, 10)))
+        sizes = [self.feature_dim] + [self.dcfg.hidden_units] \
+            * self.dcfg.hidden_layers
+        weights = pretrain_dnn_with_rbm(data, sizes, verbose=verbose,
+                                        seed=self.seed)
+        # degenerate-weight guard (pipeline.py:751-756)
+        for w, _vb, _hb in weights:
+            if not np.all(np.isfinite(w)) or np.abs(w).max() > 100:
+                if verbose:
+                    print("  ! degenerate RBM weights — skipping load")
+                return
+        self.state = self.state.replace(
+            params=load_rbm_weights(self.state.params, weights))
+
+    def train(self, train_ds: FrameDataset, test_ds: FrameDataset,
+              epochs: int | None = None, batch_size: int | None = None,
+              verbose: bool = True) -> List[dict]:
+        epochs = epochs or self.dcfg.epochs
+        batch_size = batch_size or self.dcfg.batch_size
+        key = jax.random.PRNGKey(self.seed)
+        self.state = self._init_model_state(self._lr, key)
+        if self.use_rbm and len(train_ds) > 0:
+            self._rbm_pretrain(train_ds, verbose)
+
+        model = self.model
+
+        @jax.jit
+        def train_epoch(state, feats, masks, rng):
+            """Whole epoch as one lax.scan over minibatches."""
+            def step(carry, xs):
+                st, k = carry
+                f, m = xs
+                k, sub = jax.random.split(k)
+
+                def loss_fn(p):
+                    pred = model.apply(p, f, deterministic=False,
+                                       rngs={"dropout": sub})
+                    return jnp.mean((pred - m) ** 2)
+
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                grads, is_bad = guard_nan_update(grads, loss)
+                st = st.apply_gradients(grads=grads)
+                st = st.replace(nan_count=st.nan_count
+                                + is_bad.astype(jnp.int32))
+                return (st, k), loss
+
+            (state, _), losses = jax.lax.scan(step, (state, rng),
+                                              (feats, masks))
+            return state, jnp.mean(losses)
+
+        @jax.jit
+        def validate(params, feats, masks):
+            pred = model.apply(params, feats)
+            return jnp.mean((pred - masks) ** 2)
+
+        n = len(train_ds)
+        nb = max(1, n // batch_size)
+        usable = nb * batch_size
+        rng_np = np.random.default_rng(self.seed)
+
+        best_val = float("inf")
+        nan_epochs = 0
+        history = []
+        lr = self._lr
+        plateau = 0
+        for epoch in range(epochs):
+            t0 = time.time()
+            perm = rng_np.permutation(n)[:usable]
+            feats = jnp.asarray(train_ds.features[perm]).reshape(
+                nb, batch_size, -1)
+            masks = jnp.asarray(train_ds.masks[perm]).reshape(
+                nb, batch_size, -1)
+            self.state, tr_loss = train_epoch(
+                self.state, feats, masks,
+                jax.random.PRNGKey(self.seed * 997 + epoch))
+            tr_loss = float(tr_loss)
+
+            # NaN recovery (pipeline.py:594-609)
+            if not np.isfinite(tr_loss):
+                nan_epochs += 1
+                if nan_epochs >= 3:
+                    if verbose:
+                        print("  ! 3 NaN epochs — re-initializing model at "
+                              "0.1x LR")
+                    lr = lr * 0.1
+                    self.state = self._init_model_state(
+                        lr, jax.random.PRNGKey(self.seed + 7 + epoch))
+                    nan_epochs = 0
+                continue
+            nan_epochs = 0
+
+            va_loss = float(validate(self.state.params,
+                                     jnp.asarray(test_ds.features),
+                                     jnp.asarray(test_ds.masks))
+                            ) if len(test_ds) else tr_loss
+
+            # ReduceLROnPlateau semantics (pipeline.py:620-623)
+            if va_loss < best_val - 1e-6:
+                best_val = va_loss
+                plateau = 0
+                self.save_model(f"best_{self.mask_type}")
+            else:
+                plateau += 1
+                if plateau >= 5:
+                    lr *= 0.5
+                    plateau = 0
+                    self.state.opt_state[1].hyperparams[
+                        "learning_rate"] = jnp.asarray(lr)
+                    if verbose:
+                        print(f"    LR reduced to {lr:.2e}")
+            history.append({"epoch": epoch, "train_loss": tr_loss,
+                            "val_loss": va_loss, "lr": lr})
+            if verbose:
+                print(f"  Epoch {epoch + 1:3d}/{epochs} | "
+                      f"Train: {tr_loss:.5f} | Val: {va_loss:.5f} | "
+                      f"LR {lr:.1e} | {time.time() - t0:.1f}s")
+        return history
+
+    # ── model I/O ───────────────────────────────────────────────────────
+
+    def save_model(self, name: str | None = None):
+        if self.state is None:
+            return
+        from sincformer_tpu.train.state import save_checkpoint
+        name = name or f"dnn_{self.mask_type}_final"
+        extra = {"feat_mean": self.feat_mean, "feat_std": self.feat_std,
+                 "mask_type": self.mask_type,
+                 "feature_dim": self.feature_dim,
+                 "mask_dim": self.mask_dim}
+        return save_checkpoint(os.path.join(self.model_dir, name),
+                               self.state, int(self.state.step), extra)
+
+    def load_model(self, path: str | None = None):
+        import json
+
+        from sincformer_tpu.train.state import restore_checkpoint
+        if path is None:
+            for name in (f"dnn_{self.mask_type}_final",
+                         f"best_{self.mask_type}"):
+                base = os.path.join(self.model_dir, name)
+                if os.path.isdir(base):
+                    steps = sorted(d for d in os.listdir(base)
+                                   if d.startswith("step_")
+                                   and not d.endswith(".json"))
+                    if steps:
+                        path = os.path.join(base, steps[-1])
+                        break
+        if path is None:
+            raise FileNotFoundError("no DNN checkpoint found")
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.feat_mean = np.asarray(meta["feat_mean"], np.float32)
+            self.feat_std = np.asarray(meta["feat_std"], np.float32)
+        if self.state is None:
+            self.state = self._init_model_state(self._lr,
+                                                jax.random.PRNGKey(0))
+        self.state = restore_checkpoint(path, self.state)
+        return path
+
+    # ── inference ───────────────────────────────────────────────────────
+
+    def enhance_signal(self, noisy_signal: np.ndarray) -> np.ndarray:
+        """features → DNN → 64-ch mask → interp onto 129 STFT bins →
+        masked uncentered iSTFT (pipeline.py:819-934)."""
+        if self.state is None:
+            raise RuntimeError("No model loaded. Call load_model() first.")
+        noisy = np.asarray(noisy_signal, np.float32)
+        raw = self.fe.extract_frame_features(jnp.asarray(noisy))
+        features = np.asarray(self.fe.add_context(raw))
+        if self.feat_mean is not None:
+            features = np.clip((features - self.feat_mean) / self.feat_std,
+                               -10.0, 10.0)
+        features = np.nan_to_num(features, nan=0.0, posinf=0.0, neginf=0.0)
+
+        pred = self.model.apply(self.state.params, jnp.asarray(features))
+        predicted_mask = jnp.clip(pred, 0.0, 1.0)       # (T, 64)
+
+        frame, hop, n_fft = (self.acfg.frame_size, self.acfg.hop_size,
+                             self.acfg.fft_size)
+        spec = stft_uncentered(jnp.asarray(noisy), frame, hop, n_fft)
+        t = min(predicted_mask.shape[0], spec.shape[0])
+
+        # 64 gammatone centers → 129 linear STFT bins (pipeline.py:896-915)
+        centers = erb_space(cfg.DEFAULT.gammatone.freq_low,
+                            cfg.DEFAULT.gammatone.freq_high,
+                            self.mask_dim)
+        stft_freqs = np.linspace(0, self.fs / 2, n_fft // 2 + 1)
+        mask64 = predicted_mask[:t]                      # (T, 64)
+        stft_mask = jax.vmap(
+            lambda row: jnp.interp(jnp.asarray(stft_freqs),
+                                   jnp.asarray(centers), row,
+                                   left=row[0], right=row[-1]))(mask64)
+        masked = spec[:t] * stft_mask
+        enhanced = istft_uncentered(masked, len(noisy), frame, hop, n_fft)
+        return np.asarray(enhanced, np.float32)
