@@ -15,9 +15,22 @@ from sincformer_tpu import config as cfg
 from sincformer_tpu.utils.signal import resample_linear
 
 
-def load_audio(filepath: str, target_sr: int | None = None) -> np.ndarray:
-    """Load a WAV file, mono, resampled to ``target_sr`` float32."""
+def load_audio(filepath: str, target_sr: int | None = None,
+               use_native: bool = True) -> np.ndarray:
+    """Load a WAV file, mono, resampled to ``target_sr`` float32.
+
+    Fast path: the native C++ decoder (native/wavio.cpp) when built; then
+    soundfile; then scipy — same numeric contract throughout.
+    """
     target_sr = target_sr or cfg.DEFAULT.audio.sample_rate
+    if use_native and filepath.lower().endswith(".wav"):
+        from sincformer_tpu.data import native
+        got = native.wav_read_mono(filepath)
+        if got is not None:
+            audio, sr = got
+            if sr != target_sr:
+                audio = native.resample_linear(audio, sr, target_sr)
+            return audio.astype(np.float32)
     try:
         import soundfile as sf
         audio, sr = sf.read(filepath, dtype="float32")

@@ -38,11 +38,19 @@ class MeddisHairCell:
         self.c0 = self.q0 * k_ss / self.y
         self.w0 = self.c0 * self.r / self.x
 
-    def process(self, signal: jnp.ndarray) -> jnp.ndarray:
+    def process(self, signal: jnp.ndarray,
+                backend: str = "scan") -> jnp.ndarray:
         """Firing-rate probability for (..., N) input (any leading dims —
         e.g. (B, C, N) filterbank output). Time is scanned; everything else
         is vectorised.
+
+        ``backend="pallas"`` routes to the fused on-chip kernel
+        (ops/meddis_pallas.py — identical math, state kept in VMEM across
+        time chunks; note its one-time TPU compile is slow).
         """
+        if backend == "pallas":
+            from sincformer_tpu.ops.meddis_pallas import meddis_pallas
+            return meddis_pallas(signal, self.fs)
         x = jnp.asarray(signal, jnp.float32)
         lead = x.shape[:-1]
         dt = self.dt
