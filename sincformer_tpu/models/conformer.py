@@ -63,10 +63,12 @@ class MultiHeadSelfAttention(nn.Module):
     d_model: int
     num_heads: int
     dropout: float = 0.1
+    attn_impl: str = "xla"   # "xla" | "flash" (Pallas kernel, ops/attention)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  mask: Optional[jnp.ndarray] = None):
+        from sincformer_tpu.ops.attention import dot_product_attention
         residual = x
         x = nn.LayerNorm()(x)
         b, t, d = x.shape
@@ -77,12 +79,7 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
-        bias = None
-        if mask is not None:
-            # mask: (B, T) valid-frame mask → additive bias
-            bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
-            bias = jnp.broadcast_to(bias, (b, 1, t, t)).astype(x.dtype)
-        o = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        o = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
         o = o.reshape(b, t, d)
         o = nn.Dense(d, name="out")(o)
         o = nn.Dropout(self.dropout, deterministic=deterministic)(o)

@@ -66,7 +66,7 @@ class SincformerPipeline:
                  lcfg: cfg.LossConfig = cfg.DEFAULT.loss,
                  mesh=None, model_dir: str | None = None, seed: int = 0,
                  perceptual_weight: float | None = None,
-                 lr: float = 5e-4, grad_clip: float = 5.0):
+                 lr: float = 5e-4, grad_clip: float = 5.0, logger=None):
         self.acfg = acfg
         self.fs = acfg.sample_rate
         self.model = model or default_metacog(acfg)
@@ -81,6 +81,7 @@ class SincformerPipeline:
                                   if perceptual_weight is not None else 1.0)
         self.vq_weight = lcfg.commitment_weight
         self.stoi_loss = PerceptualSTOILoss(self.fs, acfg.fft_size)
+        self.logger = logger          # utils.observability.MetricsLogger
         self.state: Optional[TrainState] = None
         self.curriculum = CurriculumScheduler()
         self._enhance_jit = {}
@@ -274,9 +275,14 @@ class SincformerPipeline:
             if improved:
                 best_val = va_loss
                 self.save_model("best_sincformer")
-            history.append({"epoch": epoch, "stage": stage.get("stage"),
-                            "train_loss": tr_loss, "val_loss": va_loss,
-                            "val_sisnr": va_sisnr})
+            entry = {"epoch": epoch, "stage": stage.get("stage"),
+                     "train_loss": tr_loss, "val_loss": va_loss,
+                     "val_sisnr": va_sisnr,
+                     "nan_count": int(self.state.nan_count),
+                     "epoch_seconds": time.time() - t0}
+            history.append(entry)
+            if self.logger is not None:
+                self.logger.log({"pipeline": "sincformer", **entry})
             if verbose:
                 print(f"  Epoch {epoch + 1:3d}/{epochs} "
                       f"[S{stage.get('stage')}] | "

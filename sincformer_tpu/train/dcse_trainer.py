@@ -41,7 +41,8 @@ class DCSEPipeline:
     def __init__(self, dcfg: cfg.DCSEConfig = cfg.DEFAULT.dcse,
                  acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
                  mesh=None, model: Optional[SpeechEnhancer] = None,
-                 model_dir: str | None = None, seed: int = 0):
+                 model_dir: str | None = None, seed: int = 0,
+                 logger=None):
         self.dcfg = dcfg
         self.acfg = acfg
         self.fs = acfg.sample_rate
@@ -49,6 +50,7 @@ class DCSEPipeline:
         self.model = model or default_speech_enhancer(dcfg, acfg)
         self.model_dir = model_dir or cfg.DEFAULT.data.model_dir
         self.seed = seed
+        self.logger = logger          # utils.observability.MetricsLogger
         self.state: Optional[TrainState] = None
         self._enhance_jit = {}
         os.makedirs(self.model_dir, exist_ok=True)
@@ -199,8 +201,13 @@ class DCSEPipeline:
             if improved:
                 best_val = va_loss
                 self.save_model("best_conformer")
-            history.append({"epoch": epoch, "train_loss": tr_loss,
-                            "val_loss": va_loss, "val_sisnr": va_sisnr})
+            entry = {"epoch": epoch, "train_loss": tr_loss,
+                     "val_loss": va_loss, "val_sisnr": va_sisnr,
+                     "nan_count": int(self.state.nan_count),
+                     "epoch_seconds": time.time() - t0}
+            history.append(entry)
+            if self.logger is not None:
+                self.logger.log({"pipeline": "dcse", **entry})
             if verbose:
                 print(f"  Epoch {epoch + 1:3d}/{epochs} | "
                       f"Train: {tr_loss:.4f} (SI-SNR: {tr_sisnr:+.2f}) | "

@@ -162,7 +162,7 @@ class DNNPipeline:
     def __init__(self, mask_type: str = "pcirm",
                  use_rbm_pretrain: bool = True,
                  model_dir: str | None = None,
-                 cache_dir: str | None = None, seed: int = 0,
+                 cache_dir: str | None = None, seed: int = 0, logger=None,
                  dcfg: cfg.DNNConfig = cfg.DEFAULT.dnn,
                  acfg: cfg.AudioConfig = cfg.DEFAULT.audio):
         self.mask_type = mask_type
@@ -175,6 +175,7 @@ class DNNPipeline:
         self.cache_dir = cache_dir or cfg.DEFAULT.data.cache_dir
         self.fe = FeatureExtractor(fs=self.fs)
         self.gfb = GammatoneFilterbank(sample_rate=self.fs)
+        self.logger = logger          # utils.observability.MetricsLogger
         self.model: Optional[SpeechEnhancementDNN] = None
         self.state: Optional[TrainState] = None
         self.feat_mean = None
@@ -366,8 +367,12 @@ class DNNPipeline:
                         "learning_rate"] = jnp.asarray(lr)
                     if verbose:
                         print(f"    LR reduced to {lr:.2e}")
-            history.append({"epoch": epoch, "train_loss": tr_loss,
-                            "val_loss": va_loss, "lr": lr})
+            entry = {"epoch": epoch, "train_loss": tr_loss,
+                     "val_loss": va_loss, "lr": lr,
+                     "epoch_seconds": time.time() - t0}
+            history.append(entry)
+            if self.logger is not None:
+                self.logger.log({"pipeline": "dnn", **entry})
             if verbose:
                 print(f"  Epoch {epoch + 1:3d}/{epochs} | "
                       f"Train: {tr_loss:.5f} | Val: {va_loss:.5f} | "
