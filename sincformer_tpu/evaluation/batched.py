@@ -1,0 +1,66 @@
+"""Fully-batched on-device metric sweep.
+
+One jitted call evaluates all five metrics for a whole batch of
+(clean, enhanced) pairs — the device-side replacement for the reference's
+serial per-utterance metric loop (main.py:338-356). Used by the grid
+evaluator's fast path and by the benchmark harness.
+
+Metric semantics match the host entry points exactly for equal-length
+inputs (the host versions are these same jnp kernels, unbatched).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sincformer_tpu.evaluation.csii import csii_jax
+from sincformer_tpu.evaluation.ncm import ncm_jax
+from sincformer_tpu.evaluation.pesq import pesq_proxy_jax
+from sincformer_tpu.evaluation.ssnr import ssnr_jax
+from sincformer_tpu.evaluation.stoi import stoi_jax
+
+_METRIC_JAX = {
+    "stoi": stoi_jax,
+    "pesq": pesq_proxy_jax,
+    "ssnr": lambda c, e: ssnr_jax(c, e),
+    "csii": csii_jax,
+    "ncm": ncm_jax,
+}
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_metrics_fn(metrics: tuple, fs: int):
+    fns = {k: _METRIC_JAX[k] for k in metrics}
+
+    @jax.jit
+    def compute(clean, enhanced):
+        out = {}
+        for k, fn in fns.items():
+            if k == "ssnr":
+                out[k] = jax.vmap(lambda c, e, _f=fn: _f(c, e))(clean,
+                                                               enhanced)
+            else:  # metrics that take the sample rate
+                out[k] = jax.vmap(lambda c, e, _f=fn: _f(c, e, fs))(clean,
+                                                                    enhanced)
+        return out
+
+    return compute
+
+
+def metrics_batch(clean: np.ndarray, enhanced: np.ndarray,
+                  metrics: Sequence[str] = ("stoi", "pesq", "ssnr",
+                                            "csii", "ncm"),
+                  fs: int = 8000) -> Dict[str, np.ndarray]:
+    """All metrics for (B, N) pairs in one device call.
+
+    Returns {metric: (B,) float array}.
+    """
+    fn = _batched_metrics_fn(tuple(metrics), fs)
+    out = fn(jnp.asarray(clean, jnp.float32),
+             jnp.asarray(enhanced, jnp.float32))
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -74,14 +74,46 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                   pipelines: Dict[str, object],
                   snr_levels: Sequence[float] | None = None,
                   metrics: Sequence[str] = METRICS,
-                  verbose: bool = True) -> Dict:
-    """results[noise][method][snr][metric] = [values]."""
+                  verbose: bool = True,
+                  batched: bool | None = None) -> Dict:
+    """results[noise][method][snr][metric] = [values].
+
+    Fast path (``batched=True``, auto-chosen for uniform-length utterances
+    when every pipeline exposes ``enhance_batch``): each (noise, SNR) cell
+    is ONE batched enhancement call + ONE jitted 5-metric device sweep —
+    the TPU replacement for the reference's serial loop (main.py:316-359).
+    """
     snr_levels = list(snr_levels or cfg.DEFAULT.data.snr_levels)
     methods = ["noisy"] + list(pipelines.keys())
+    lengths = {len(c) for c in clean_signals}
+    if batched is None:
+        batched = (len(lengths) == 1
+                   and all(hasattr(p, "enhance_batch")
+                           for p in pipelines.values()))
     results: Dict = {}
     for noise_name, noise in noises.items():
         results[noise_name] = {m: {snr: {k: [] for k in metrics}
                                    for snr in snr_levels} for m in methods}
+        if batched:
+            clean_b = np.stack(clean_signals)
+            from sincformer_tpu.evaluation.batched import metrics_batch
+            for snr in snr_levels:
+                noisy_b = np.stack([add_noise_at_snr(c, noise, snr)
+                                    for c in clean_signals])
+                outs = {"noisy": noisy_b}
+                for name, pipe in pipelines.items():
+                    try:
+                        outs[name] = pipe.enhance_batch(noisy_b)
+                    except Exception:
+                        continue
+                for method, sig_b in outs.items():
+                    vals = metrics_batch(clean_b, sig_b, metrics)
+                    cell = results[noise_name][method][snr]
+                    for k in metrics:
+                        cell[k].extend(float(v) for v in vals[k])
+            if verbose:
+                print(f"  finished noise: {noise_name} (batched)")
+            continue
         for clean in clean_signals:
             for snr in snr_levels:
                 noisy = add_noise_at_snr(clean, noise, snr)

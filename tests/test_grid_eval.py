@@ -1,0 +1,64 @@
+"""Grid evaluation: batched fast path vs serial path consistency."""
+
+import numpy as np
+import pytest
+
+from sincformer_tpu.data import synthetic_noise, synthetic_speech
+from sincformer_tpu.evaluation.batched import metrics_batch
+from sincformer_tpu.evaluation.grid import evaluate_grid, print_grid_tables
+from sincformer_tpu.evaluation import (compute_csii, compute_ncm,
+                                       compute_pesq, compute_ssnr,
+                                       compute_stoi)
+
+
+class _IdentityPipe:
+    """Pass-through 'enhancer' with both serial and batched APIs."""
+
+    def enhance_signal(self, x):
+        return np.asarray(x) * 0.9
+
+    def enhance_batch(self, x):
+        return np.asarray(x) * 0.9
+
+
+class TestBatchedMetrics:
+    def test_matches_host_metrics(self, rng):
+        clean = np.stack([synthetic_speech(1.0) for _ in range(3)])
+        enhanced = clean + 0.1 * rng.standard_normal(clean.shape
+                                                     ).astype(np.float32)
+        out = metrics_batch(clean, enhanced)
+        host = {
+            "stoi": compute_stoi, "pesq": compute_pesq,
+            "ssnr": compute_ssnr, "csii": compute_csii, "ncm": compute_ncm,
+        }
+        for k, fn in host.items():
+            for b in range(3):
+                assert abs(out[k][b] - fn(clean[b], enhanced[b])) < 2e-3, k
+
+
+class TestGridPaths:
+    def test_batched_equals_serial(self):
+        clean = [synthetic_speech(1.0) * s for s in (1.0, 0.8)]
+        noises = {"white": synthetic_noise(8000, seed=0)}
+        pipes = {"ident": _IdentityPipe()}
+        serial = evaluate_grid(clean, noises, pipes, snr_levels=[0, 5],
+                               verbose=False, batched=False)
+        fast = evaluate_grid(clean, noises, pipes, snr_levels=[0, 5],
+                             verbose=False, batched=True)
+        for method in ("noisy", "ident"):
+            for snr in (0, 5):
+                for k in ("stoi", "ssnr", "pesq"):
+                    a = serial["white"][method][snr][k]
+                    b = fast["white"][method][snr][k]
+                    np.testing.assert_allclose(a, b, atol=2e-3,
+                                               err_msg=f"{method}/{snr}/{k}")
+
+    def test_tables_print(self, capsys):
+        clean = [synthetic_speech(0.5)]
+        noises = {"white": synthetic_noise(8000, seed=0)}
+        res = evaluate_grid(clean, noises, {"ident": _IdentityPipe()},
+                            snr_levels=[0], verbose=False)
+        summary = print_grid_tables(res, [0])
+        out = capsys.readouterr().out
+        assert "GRAND SUMMARY" in out
+        assert ("ident", "ncm") in summary
