@@ -42,7 +42,7 @@ class DCSEPipeline:
                  acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
                  mesh=None, model: Optional[SpeechEnhancer] = None,
                  model_dir: str | None = None, seed: int = 0,
-                 logger=None):
+                 logger=None, compute_dtype=None):
         self.dcfg = dcfg
         self.acfg = acfg
         self.fs = acfg.sample_rate
@@ -51,6 +51,10 @@ class DCSEPipeline:
         self.model_dir = model_dir or cfg.DEFAULT.data.model_dir
         self.seed = seed
         self.logger = logger          # utils.observability.MetricsLogger
+        # bf16 mixed precision: f32 master weights + optimizer state, model
+        # compute in bf16, losses/STFT in f32 (SURVEY.md §2 mixed-precision
+        # parity item — the reference uses CUDA AMP, pipeline.py:655-669)
+        self.compute_dtype = compute_dtype
         self.state: Optional[TrainState] = None
         self._enhance_jit = {}
         os.makedirs(self.model_dir, exist_ok=True)
@@ -84,9 +88,17 @@ class DCSEPipeline:
         kwargs = {}
         if train:
             kwargs = {"rngs": {"dropout": rng}}
+        re, im = noisy_spec.real, noisy_spec.imag
+        apply_params = params
+        if self.compute_dtype is not None:
+            re = re.astype(self.compute_dtype)
+            im = im.astype(self.compute_dtype)
+            apply_params = jax.tree.map(
+                lambda x: x.astype(self.compute_dtype), params)
         enh_r, enh_i, _mask = self.model.apply(
-            params, noisy_spec.real, noisy_spec.imag,
-            deterministic=not train, **kwargs)
+            apply_params, re, im, deterministic=not train, **kwargs)
+        enh_r = enh_r.astype(jnp.float32)
+        enh_i = enh_i.astype(jnp.float32)
         enh_wav = istft(enh_r + 1j * enh_i, n_fft, hop, frame,
                         length=clean.shape[-1])
         loss_sisnr = si_snr_loss(enh_wav, clean)
@@ -116,9 +128,10 @@ class DCSEPipeline:
         return self.state
 
     def _make_train_step(self):
+        import functools
         loss_fn = self._loss_fn
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, noisy, clean, rng):
             (loss, neg_sisnr), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, noisy, clean, rng, True),
