@@ -1,0 +1,97 @@
+"""Torch-checkpoint migration: converted models must match the reference
+forward pass numerically — the switch-over guarantee for reference users."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_models(ref_modules):
+    import importlib
+    return (importlib.import_module("models.dnn"),
+            importlib.import_module("training.conformer_pipeline"))
+
+
+class TestDNNImport:
+    def test_forward_parity(self, ref_models, rng):
+        ref_dnn_mod, _ = ref_models
+        from sincformer_tpu.compat import import_dnn_state_dict
+        from sincformer_tpu.models.dnn import SpeechEnhancementDNN
+
+        tmodel = ref_dnn_mod.SpeechEnhancementDNN(
+            input_dim=100, hidden_dim=64, output_dim=16,
+            num_hidden_layers=3, dropout=0.2).eval()
+        variables = import_dnn_state_dict(tmodel.state_dict())
+        ours = SpeechEnhancementDNN(input_dim=100, hidden_dim=64,
+                                    output_dim=16, num_hidden_layers=3)
+
+        x = rng.standard_normal((5, 100)).astype(np.float32)
+        with torch.no_grad():
+            theirs = tmodel(torch.from_numpy(x)).numpy()
+        mine = np.asarray(ours.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(mine, theirs, atol=1e-5)
+
+
+class TestDCSEImport:
+    def test_forward_parity(self, ref_models, rng):
+        _, ref_cp = ref_models
+        from sincformer_tpu.compat import import_dcse_state_dict
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+
+        tmodel = ref_cp.SpeechEnhancer(n_freq=33, d_model=32, num_blocks=2,
+                                       num_heads=2, d_ff=64, kernel_size=7,
+                                       dropout=0.0).eval()
+        variables = import_dcse_state_dict(tmodel.state_dict(), num_blocks=2)
+        ours = SpeechEnhancer(n_freq=33, d_model=32, num_blocks=2,
+                              num_heads=2, d_ff=64, kernel_size=7,
+                              dropout=0.0, conv_norm="batch")
+
+        re = rng.standard_normal((2, 12, 33)).astype(np.float32)
+        im = rng.standard_normal((2, 12, 33)).astype(np.float32)
+        with torch.no_grad():
+            er_t, ei_t, mag_t = tmodel(torch.from_numpy(re),
+                                       torch.from_numpy(im))
+        er, ei, mag = ours.apply(variables, jnp.asarray(re),
+                                 jnp.asarray(im), deterministic=True)
+        np.testing.assert_allclose(np.asarray(mag), mag_t.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(er), er_t.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ei), ei_t.numpy(), atol=1e-4)
+
+    def test_checkpoint_file_roundtrip(self, ref_models, tmp_path, rng):
+        """Save a reference-format .pt, load via load_reference_checkpoint,
+        enhance a waveform — the actual migration flow."""
+        _, ref_cp = ref_models
+        from sincformer_tpu.compat import load_reference_checkpoint
+        from sincformer_tpu.dsp.stft import istft, stft
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+
+        tmodel = ref_cp.SpeechEnhancer(n_freq=129, d_model=32, num_blocks=2,
+                                       num_heads=2, d_ff=64, kernel_size=7,
+                                       dropout=0.0).eval()
+        path = str(tmp_path / "conformer_final.pt")
+        torch.save({"model_state": tmodel.state_dict(),
+                    "model_class": "SpeechEnhancer"}, path)
+
+        loaded = load_reference_checkpoint(path)
+        assert loaded["kind"] == "dcse"
+        ours = SpeechEnhancer(n_freq=129, d_model=32, num_blocks=2,
+                              num_heads=2, d_ff=64, kernel_size=7,
+                              dropout=0.0, conv_norm="batch")
+        wav = rng.standard_normal(4000).astype(np.float32)
+        spec = stft(jnp.asarray(wav)[None])
+        er, ei, _ = ours.apply(loaded["variables"], spec.real, spec.imag,
+                               deterministic=True)
+        out = istft(er + 1j * ei, length=4000)
+
+        # reference end-to-end on the same waveform
+        t_re, t_im = ref_cp.batch_stft(torch.from_numpy(wav)[None],
+                                       256, 80, 160)
+        with torch.no_grad():
+            ter, tei, _ = tmodel(t_re, t_im)
+        t_out = ref_cp.batch_istft(ter, tei, 256, 80, 160, 4000).numpy()[0]
+        np.testing.assert_allclose(np.asarray(out[0]), t_out, atol=1e-4)
