@@ -98,9 +98,23 @@ def demo(args):
     print(f"\n{'=' * 70}\n  Demo complete!\n{'=' * 70}\n")
 
 
+def _synthetic_corpus(n: int):
+    """Synthetic clean utterances + noise bank for dataset-free training."""
+    import numpy as np
+
+    from sincformer_tpu.data import synthetic_noise, synthetic_speech
+    rng = np.random.default_rng(42)
+    clean = [synthetic_speech(1.0 + rng.random())
+             * (0.6 + 0.8 * rng.random()) for _ in range(n)]
+    noises = {"white": synthetic_noise(8000 * 30, seed=7)}
+    return clean, noises
+
+
 def train(args):
-    """Train on TIMIT + NOISEX-92 (reference main.py:176-212)."""
+    """Train on TIMIT + NOISEX-92 (reference main.py:176-212), or on a
+    synthetic corpus with --synthetic N (no datasets needed)."""
     pipeline_type = getattr(args, "pipeline", "dnn")
+    synthetic_n = getattr(args, "synthetic", 0)
 
     if pipeline_type in ("conformer", "dcse"):
         from sincformer_tpu.train.dcse_trainer import DCSEPipeline
@@ -108,8 +122,15 @@ def train(args):
         print("  Speech Enhancement — DCSE Conformer Training (TPU)")
         print("=" * 70)
         pipe = DCSEPipeline()
-        train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
-                                              max_test=args.max_test)
+        if synthetic_n:
+            from sincformer_tpu.data.loader import WaveformDataset
+            clean, noises = _synthetic_corpus(synthetic_n)
+            split = max(1, int(0.9 * len(clean)))
+            train_ds = WaveformDataset.from_arrays(clean[:split], noises)
+            test_ds = WaveformDataset.from_arrays(clean[split:], noises)
+        else:
+            train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
+                                                  max_test=args.max_test)
         pipe.train(train_ds, test_ds, epochs=args.epochs)
         pipe.save_model()
     elif pipeline_type == "agents":
@@ -122,17 +143,22 @@ def train(args):
         print("=" * 70)
         print("  Speech Enhancement — Sincformer Metacog Training (TPU)")
         print("=" * 70)
-        files = find_speech_files()
-        if not files:
-            raise RuntimeError(
-                f"No speech files in {cfg.DEFAULT.data.timit_dir}")
-        tr_files, te_files = train_test_split(files,
-                                              max_train=args.max_train,
-                                              max_test=args.max_test)
         fs = cfg.DEFAULT.audio.sample_rate
-        clean_tr = [load_audio(f, fs) for f in tr_files]
-        clean_te = [load_audio(f, fs) for f in te_files]
-        noises = load_noise_signals(fs)
+        if synthetic_n:
+            clean, noises = _synthetic_corpus(synthetic_n)
+            split = max(1, int(0.9 * len(clean)))
+            clean_tr, clean_te = clean[:split], clean[split:]
+        else:
+            files = find_speech_files()
+            if not files:
+                raise RuntimeError(
+                    f"No speech files in {cfg.DEFAULT.data.timit_dir}")
+            tr_files, te_files = train_test_split(files,
+                                                  max_train=args.max_train,
+                                                  max_test=args.max_test)
+            clean_tr = [load_audio(f, fs) for f in tr_files]
+            clean_te = [load_audio(f, fs) for f in te_files]
+            noises = load_noise_signals(fs)
         pipe = SincformerPipeline()
         pipe.train(clean_tr, clean_te, noises, epochs=args.epochs)
         pipe.save_model()
@@ -143,8 +169,13 @@ def train(args):
         print("=" * 70)
         pipe = DNNPipeline(mask_type=args.mask_type,
                            use_rbm_pretrain=not args.no_rbm)
-        train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
-                                              max_test=args.max_test)
+        if synthetic_n:
+            from sincformer_tpu.data.loader import load_noise_signals
+            clean, noises = _synthetic_corpus(synthetic_n)
+            train_ds, test_ds = pipe.prepare_arrays(clean, noises)
+        else:
+            train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
+                                                  max_test=args.max_test)
         pipe.train(train_ds, test_ds, epochs=args.epochs)
         pipe.save_model()
 
@@ -213,6 +244,9 @@ def main(argv=None):
     tp.add_argument("--max-test", type=int, default=20)
     tp.add_argument("--no-rbm", action="store_true",
                     help="Skip RBM pre-training (DNN only)")
+    tp.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="Train on N synthetic utterances (no datasets "
+                         "needed)")
 
     ep = sub.add_parser("evaluate", help="Full 5-metric grid evaluation")
     ep.add_argument("--max-eval", type=int, default=50)

@@ -238,8 +238,7 @@ class SincformerPipeline:
                                            list(cfg.DEFAULT.data.snr_levels),
                                            max_len, 0)
             t0 = time.time()
-            tr_loss = tr_sisnr = 0.0
-            n_b = 0
+            losses, sisnrs = [], []   # device scalars; one sync per epoch
             for batch in batch_iterator(train_ds, batch_size, shuffle=True,
                                         seed=self.seed, epoch=epoch):
                 key, sub = jax.random.split(key)
@@ -251,25 +250,26 @@ class SincformerPipeline:
                     noisy, clean = sh["noisy"], sh["clean"]
                 self.state, loss, sisnr = train_step(
                     self.state, noisy, clean, sub, use_perc, use_vq)
-                tr_loss += float(loss)
-                tr_sisnr += float(sisnr)
-                n_b += 1
-            tr_loss /= max(n_b, 1)
-            tr_sisnr /= max(n_b, 1)
+                losses.append(loss)
+                sisnrs.append(sisnr)
+            n_b = len(losses)
+            tr_loss = float(sum(losses) / n_b) if n_b else 0.0
+            tr_sisnr = float(sum(sisnrs) / n_b) if n_b else 0.0
 
-            va_loss = va_sisnr = 0.0
-            n_v = 0
+            v_losses, v_sisnrs = [], []
             for batch in batch_iterator(test_ds, batch_size, shuffle=False,
                                         drop_last=False):
                 loss, sisnr = eval_step(self.state,
                                         jnp.asarray(batch["noisy"]),
                                         jnp.asarray(batch["clean"]))
-                if np.isfinite(float(loss)):
-                    va_loss += float(loss)
-                    va_sisnr += float(sisnr)
-                    n_v += 1
-            va_loss /= max(n_v, 1)
-            va_sisnr /= max(n_v, 1)
+                v_losses.append(loss)
+                v_sisnrs.append(sisnr)
+            finite = [i for i in range(len(v_losses))
+                      if np.isfinite(float(v_losses[i]))]
+            va_loss = (float(np.mean([float(v_losses[i]) for i in finite]))
+                       if finite else 0.0)
+            va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
+                        if finite else 0.0)
 
             improved = va_loss < best_val
             if improved:
