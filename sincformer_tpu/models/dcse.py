@@ -36,6 +36,7 @@ class SpeechEnhancer(nn.Module):
     dropout: float = 0.15
     phase_bound_div: float = 6.0
     conv_norm: str = "layer"
+    remat: bool = False   # jax.checkpoint each block: trade FLOPs for HBM
 
     @nn.compact
     def __call__(self, noisy_real, noisy_imag, deterministic: bool = True,
@@ -43,10 +44,12 @@ class SpeechEnhancer(nn.Module):
         x = jnp.concatenate([noisy_real, noisy_imag], axis=-1)
         x = nn.LayerNorm(name="input_norm")(x)
         x = nn.Dense(self.d_model, name="input_proj")(x)
+        block_cls = (nn.remat(ConformerBlock, static_argnums=(2,))
+                     if self.remat else ConformerBlock)
         for i in range(self.num_blocks):
-            x = ConformerBlock(self.d_model, self.num_heads, self.d_ff,
-                               self.kernel_size, self.dropout,
-                               self.conv_norm, name=f"block_{i}")(
+            x = block_cls(self.d_model, self.num_heads, self.d_ff,
+                          self.kernel_size, self.dropout,
+                          self.conv_norm, name=f"block_{i}")(
                 x, deterministic, mask)
         x = nn.LayerNorm(name="output_norm")(x)
 

@@ -24,6 +24,7 @@ its per-frame NumPy loops are slow; one device pass replaces a worker pool).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import time
@@ -65,15 +66,63 @@ def compute_oracle_mask(clean_m, clean_p, noise_m, noise_p, noisy_m, noisy_p,
     return compute_irm(clean_m, noise_m)
 
 
+_PREPROC_JIT: Dict = {}
+
+
+def _preprocess_fn(mask_type: str, fe: FeatureExtractor,
+                   gfb: GammatoneFilterbank, n: int):
+    """One jitted program for the whole per-utterance preprocessing
+    (features + context + 3× T-F analysis + oracle mask). Cached per signal
+    length — eager dispatch of the hundreds of small ops inside is
+    prohibitively slow through a remote TPU tunnel.
+
+    Pinned to the host CPU backend: preprocessing is the input pipeline
+    (the reference runs it in worker processes, pipeline.py:484-516); the
+    accelerator stays free for the training step, and per-shape compiles
+    are seconds instead of minutes through the tunnel.
+    """
+    key = (mask_type, id(fe), id(gfb), n)
+    if key not in _PREPROC_JIT:
+        try:
+            _cpu = jax.devices("cpu")[0]
+        except Exception:  # pragma: no cover
+            _cpu = None
+
+        @functools.partial(jax.jit, device=_cpu)
+        def fn(noisy, clean, noise_trim):
+            raw = fe.extract_frame_features(noisy)
+            features = fe.add_context(raw)
+            clean_m, clean_p = gfb.get_tf_magnitudes(clean)
+            noise_m, noise_p = gfb.get_tf_magnitudes(noise_trim)
+            noisy_m, noisy_p = gfb.get_tf_magnitudes(noisy)
+            min_f = min(clean_m.shape[1], features.shape[0])
+            mask = compute_oracle_mask(
+                clean_m[:, :min_f], clean_p[:, :min_f],
+                noise_m[:, :min_f], noise_p[:, :min_f],
+                noisy_m[:, :min_f], noisy_p[:, :min_f], mask_type)
+            return features[:min_f], mask.T
+
+        _PREPROC_JIT[key] = fn
+    return _PREPROC_JIT[key]
+
+
 def process_single_utterance(clean: np.ndarray, noise: np.ndarray,
                              snr_db: float, mask_type: str,
                              fe: FeatureExtractor,
                              gfb: GammatoneFilterbank,
                              cache_dir: Optional[str] = None,
-                             cache_key: Optional[str] = None
+                             cache_key: Optional[str] = None,
+                             pad_quantum: int = 2000
                              ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """load → mix → features → oracle mask, with .npz caching
-    (pipeline.py:101-210). Returns (features (T, 594), mask (T, 64))."""
+    (pipeline.py:101-210). Returns (features (T, 594), mask (T, 64)).
+
+    Signals are right-zero-padded to a length quantum so the jitted
+    preprocessing program is reused across utterances; only frames fully
+    inside the true length are kept (frame t spans up to t·hop+frame
+    samples), so padding never leaks into retained features/masks except
+    through the whole-utterance RASTA-PLP mean (documented deviation).
+    """
     if cache_dir and cache_key:
         cache_file = os.path.join(cache_dir, f"{cache_key}.npz")
         if os.path.exists(cache_file):
@@ -83,27 +132,26 @@ def process_single_utterance(clean: np.ndarray, noise: np.ndarray,
             except Exception:
                 pass  # corrupted cache → recompute
     acfg = cfg.DEFAULT.audio
-    if len(clean) < acfg.frame_size * 2:
+    n_true = len(clean)
+    if n_true < acfg.frame_size * 2:
         return None
     noisy = add_noise_at_snr(clean, noise, snr_db)
 
-    raw = fe.extract_frame_features(jnp.asarray(noisy))
-    features = fe.add_context(raw)
+    noise_trim = noise[:n_true]
+    if len(noise_trim) < n_true:
+        noise_trim = np.pad(noise_trim, (0, n_true - len(noise_trim)))
 
-    noise_trim = noise[:len(clean)]
-    if len(noise_trim) < len(clean):
-        noise_trim = np.pad(noise_trim, (0, len(clean) - len(noise_trim)))
-    clean_m, clean_p = gfb.get_tf_magnitudes(jnp.asarray(clean))
-    noise_m, noise_p = gfb.get_tf_magnitudes(jnp.asarray(noise_trim))
-    noisy_m, noisy_p = gfb.get_tf_magnitudes(jnp.asarray(noisy))
+    n_pad = int(np.ceil(n_true / pad_quantum) * pad_quantum)
+    t_true = (n_true - acfg.frame_size) // acfg.hop_size + 1
 
-    min_f = min(clean_m.shape[1], features.shape[0])
-    mask = compute_oracle_mask(clean_m[:, :min_f], clean_p[:, :min_f],
-                               noise_m[:, :min_f], noise_p[:, :min_f],
-                               noisy_m[:, :min_f], noisy_p[:, :min_f],
-                               mask_type)
-    features_np = np.asarray(features[:min_f], np.float32)
-    mask_np = np.asarray(mask.T, np.float32)            # (T, 64)
+    def pad(x):
+        return np.pad(np.asarray(x, np.float32), (0, n_pad - n_true))
+
+    fn = _preprocess_fn(mask_type, fe, gfb, n_pad)
+    features, mask_t = fn(jnp.asarray(pad(noisy)), jnp.asarray(pad(clean)),
+                          jnp.asarray(pad(noise_trim)))
+    features_np = np.asarray(features[:t_true], np.float32)
+    mask_np = np.asarray(mask_t[:t_true], np.float32)   # (T, 64)
 
     if cache_dir and cache_key:
         os.makedirs(cache_dir, exist_ok=True)
@@ -424,37 +472,69 @@ class DNNPipeline:
 
     # ── inference ───────────────────────────────────────────────────────
 
-    def enhance_signal(self, noisy_signal: np.ndarray) -> np.ndarray:
+    def _enhance_fn(self, n_pad: int):
+        """One jitted program: features → DNN → mask interp → masked iSTFT,
+        with a traced valid-frame count so one compile serves every
+        utterance length within a padding quantum."""
+        if not hasattr(self, "_enh_jit"):
+            self._enh_jit = {}
+        if n_pad in self._enh_jit:
+            return self._enh_jit[n_pad]
+        frame, hop, n_fft = (self.acfg.frame_size, self.acfg.hop_size,
+                             self.acfg.fft_size)
+        centers = erb_space(cfg.DEFAULT.gammatone.freq_low,
+                            cfg.DEFAULT.gammatone.freq_high, self.mask_dim)
+        stft_freqs = np.linspace(0, self.fs / 2, n_fft // 2 + 1)
+        fe, model = self.fe, self.model
+        from sincformer_tpu.utils.signal import hann_window, overlap_add
+        win = hann_window(frame, periodic=False)
+
+        @jax.jit
+        def fn(params, noisy_pad, mean, std, t_true):
+            raw = fe.extract_frame_features(noisy_pad)
+            feats = fe.add_context(raw)
+            feats = jnp.clip((feats - mean) / std, -10.0, 10.0)
+            feats = jnp.nan_to_num(feats, nan=0.0, posinf=0.0, neginf=0.0)
+            mask64 = jnp.clip(model.apply(params, feats), 0.0, 1.0)
+            spec = stft_uncentered(noisy_pad, frame, hop, n_fft)
+            t = min(mask64.shape[0], spec.shape[0])
+            stft_mask = jax.vmap(
+                lambda row: jnp.interp(jnp.asarray(stft_freqs),
+                                       jnp.asarray(centers), row,
+                                       left=row[0], right=row[-1]))(
+                mask64[:t])
+            valid = (jnp.arange(t) < t_true)[:, None]
+            masked = spec[:t] * stft_mask * valid
+            frames = jnp.fft.irfft(masked, n=n_fft,
+                                   axis=-1)[..., :frame] * win
+            y = overlap_add(frames, hop, n_pad)
+            wsq = overlap_add(jnp.tile(jnp.asarray(win * win), (t, 1))
+                              * valid, hop, n_pad)
+            return y / jnp.where(wsq < 1e-8, 1.0, wsq)
+
+        self._enh_jit[n_pad] = fn
+        return fn
+
+    def enhance_signal(self, noisy_signal: np.ndarray,
+                       pad_quantum: int = 2000) -> np.ndarray:
         """features → DNN → 64-ch mask → interp onto 129 STFT bins →
-        masked uncentered iSTFT (pipeline.py:819-934)."""
+        masked uncentered iSTFT (pipeline.py:819-934). Input is padded to a
+        length quantum; frames beyond the true length are masked out, so
+        the reconstruction matches the unpadded formula exactly."""
         if self.state is None:
             raise RuntimeError("No model loaded. Call load_model() first.")
         noisy = np.asarray(noisy_signal, np.float32)
-        raw = self.fe.extract_frame_features(jnp.asarray(noisy))
-        features = np.asarray(self.fe.add_context(raw))
-        if self.feat_mean is not None:
-            features = np.clip((features - self.feat_mean) / self.feat_std,
-                               -10.0, 10.0)
-        features = np.nan_to_num(features, nan=0.0, posinf=0.0, neginf=0.0)
-
-        pred = self.model.apply(self.state.params, jnp.asarray(features))
-        predicted_mask = jnp.clip(pred, 0.0, 1.0)       # (T, 64)
-
-        frame, hop, n_fft = (self.acfg.frame_size, self.acfg.hop_size,
-                             self.acfg.fft_size)
-        spec = stft_uncentered(jnp.asarray(noisy), frame, hop, n_fft)
-        t = min(predicted_mask.shape[0], spec.shape[0])
-
-        # 64 gammatone centers → 129 linear STFT bins (pipeline.py:896-915)
-        centers = erb_space(cfg.DEFAULT.gammatone.freq_low,
-                            cfg.DEFAULT.gammatone.freq_high,
-                            self.mask_dim)
-        stft_freqs = np.linspace(0, self.fs / 2, n_fft // 2 + 1)
-        mask64 = predicted_mask[:t]                      # (T, 64)
-        stft_mask = jax.vmap(
-            lambda row: jnp.interp(jnp.asarray(stft_freqs),
-                                   jnp.asarray(centers), row,
-                                   left=row[0], right=row[-1]))(mask64)
-        masked = spec[:t] * stft_mask
-        enhanced = istft_uncentered(masked, len(noisy), frame, hop, n_fft)
-        return np.asarray(enhanced, np.float32)
+        n_true = len(noisy)
+        n_pad = int(np.ceil(n_true / pad_quantum) * pad_quantum)
+        t_true = (n_true - self.acfg.frame_size) // self.acfg.hop_size + 1
+        mean = (self.feat_mean if self.feat_mean is not None
+                else np.zeros(self.feature_dim, np.float32))
+        std = (self.feat_std if self.feat_std is not None
+               else np.ones(self.feature_dim, np.float32))
+        fn = self._enhance_fn(n_pad)
+        out = fn(self.state.params,
+                 jnp.asarray(np.pad(noisy, (0, n_pad - n_true))),
+                 jnp.asarray(mean, jnp.float32),
+                 jnp.asarray(std, jnp.float32),
+                 jnp.asarray(t_true, jnp.int32))
+        return np.asarray(out[:n_true], np.float32)
