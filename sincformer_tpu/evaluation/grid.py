@@ -75,13 +75,18 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                   snr_levels: Sequence[float] | None = None,
                   metrics: Sequence[str] = METRICS,
                   verbose: bool = True,
-                  batched: bool | None = None) -> Dict:
+                  batched: bool | None = None, mesh=None) -> Dict:
     """results[noise][method][snr][metric] = [values].
 
     Fast path (``batched=True``, auto-chosen for uniform-length utterances
     when every pipeline exposes ``enhance_batch``): each (noise, SNR) cell
     is ONE batched enhancement call + ONE jitted 5-metric device sweep —
     the TPU replacement for the reference's serial loop (main.py:316-359).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the metric sweep's batch axis
+    is sharded over the mesh's "data" axis (XLA reduces per-utterance
+    metrics locally; scalars gather at the host), scaling the grid across
+    chips.
     """
     snr_levels = list(snr_levels or cfg.DEFAULT.data.snr_levels)
     methods = ["noisy"] + list(pipelines.keys())
@@ -107,7 +112,22 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                     except Exception:
                         continue
                 for method, sig_b in outs.items():
-                    vals = metrics_batch(clean_b, sig_b, metrics)
+                    cb, sb = clean_b, np.asarray(sig_b)
+                    if mesh is not None:
+                        import jax
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec as P)
+                        sh = NamedSharding(mesh, P("data", None))
+                        per = mesh.shape["data"]
+                        pad = (-len(cb)) % per
+                        if pad:
+                            cb = np.concatenate([cb, cb[:pad]])
+                            sb = np.concatenate([sb, sb[:pad]])
+                        cb = jax.device_put(cb, sh)
+                        sb = jax.device_put(sb, sh)
+                    vals = metrics_batch(cb, sb, metrics)
+                    if mesh is not None and pad:
+                        vals = {k: v[:len(clean_b)] for k, v in vals.items()}
                     cell = results[noise_name][method][snr]
                     for k in metrics:
                         cell[k].extend(float(v) for v in vals[k])

@@ -488,8 +488,14 @@ class DNNPipeline:
         fe, model = self.fe, self.model
         from sincformer_tpu.utils.signal import hann_window, overlap_add
         win = hann_window(frame, periodic=False)
+        # CPU backend: the graph is dominated by the feature front-end (see
+        # _preprocess_fn) and the DNN itself is tiny — host compile/run wins
+        try:
+            _cpu = jax.devices("cpu")[0]
+        except Exception:  # pragma: no cover
+            _cpu = None
 
-        @jax.jit
+        @functools.partial(jax.jit, device=_cpu)
         def fn(params, noisy_pad, mean, std, t_true):
             raw = fe.extract_frame_features(noisy_pad)
             feats = fe.add_context(raw)

@@ -62,3 +62,25 @@ class TestGridPaths:
         out = capsys.readouterr().out
         assert "GRAND SUMMARY" in out
         assert ("ident", "ncm") in summary
+
+
+class TestMeshGrid:
+    def test_sharded_metric_sweep(self):
+        """Batched grid over a 4-device CPU mesh == single-device result."""
+        import jax
+        from sincformer_tpu.parallel import make_mesh
+
+        clean = [synthetic_speech(1.0) * s for s in (1.0, 0.9, 0.8)]
+        noises = {"white": synthetic_noise(8000, seed=0)}
+        pipes = {"ident": _IdentityPipe()}
+        mesh = make_mesh(devices=jax.devices("cpu")[:4],
+                         axis_names=("data",))
+        plain = evaluate_grid(clean, noises, pipes, snr_levels=[0],
+                              verbose=False, batched=True)
+        sharded = evaluate_grid(clean, noises, pipes, snr_levels=[0],
+                                verbose=False, batched=True, mesh=mesh)
+        for method in ("noisy", "ident"):
+            for k in ("stoi", "ssnr", "ncm"):
+                np.testing.assert_allclose(
+                    plain["white"][method][0][k],
+                    sharded["white"][method][0][k], atol=1e-4)
