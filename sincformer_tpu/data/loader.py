@@ -179,7 +179,10 @@ def batch_iterator(ds: WaveformDataset, batch_size: int,
     if not bucketed:
         for s in range(0, n, batch_size):
             idx = order[s:s + batch_size]
-            if len(idx) < batch_size and drop_last:
+            # drop a trailing partial batch only if a full batch was already
+            # emitted — otherwise a small dataset would silently train on
+            # NOTHING (zero batches)
+            if len(idx) < batch_size and drop_last and s > 0:
                 break
             noisy = np.stack([_pad_to(ds.pairs[i][0], ds.max_len)
                               for i in idx])

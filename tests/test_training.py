@@ -60,6 +60,14 @@ class TestData:
         assert all(b["noisy"].shape == (2, ds.max_len) for b in batches)
         assert len(batches) == 2  # drop_last
 
+    def test_small_dataset_never_yields_zero_batches(self):
+        # regression: 7 utterances + batch 8 + drop_last silently trained
+        # on NOTHING (caught by a CLI drive)
+        ds = tiny_dataset(7)
+        batches = list(batch_iterator(ds, 8, shuffle=False, drop_last=True))
+        assert len(batches) == 1
+        assert batches[0]["noisy"].shape[0] == 7
+
     def test_bucketed_batches(self):
         rng = np.random.default_rng(0)
         signals = [synthetic_speech(d) for d in (0.5, 0.5, 1.0, 1.0, 2.0)]
