@@ -137,7 +137,20 @@ def load_reference_checkpoint(path: str) -> Dict:
             k.startswith("blocks.") for k in sd):
         n_blocks = 1 + max(int(k.split(".")[1]) for k in sd
                            if k.startswith("blocks."))
-        return {"kind": "dcse",
+        # infer architecture from tensor shapes. Head count is NOT
+        # recoverable from a state dict and changes attention semantics —
+        # the reference trains DCSE with 4 heads (conformer_pipeline.py:410);
+        # pass num_heads explicitly for non-default reference configs.
+        d_model, two_f = _np(sd["input_proj.weight"]).shape
+        config = {
+            "num_blocks": n_blocks,
+            "d_model": d_model,
+            "n_freq": two_f // 2,
+            "d_ff": _np(sd["blocks.0.ff1.linear1.weight"]).shape[0],
+            "kernel_size": _np(sd["blocks.0.conv.depthwise.weight"]
+                               ).shape[-1],
+        }
+        return {"kind": "dcse", "config": config,
                 "variables": import_dcse_state_dict(sd, n_blocks)}
     out = {"kind": "dnn", "variables": import_dnn_state_dict(sd)}
     for k in ("feat_mean", "feat_std", "mask_type",

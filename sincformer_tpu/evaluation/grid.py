@@ -66,6 +66,22 @@ def discover_pipelines(model_dir: str) -> Dict[str, object]:
             print("  + Found trained model: sincformer (metacog)")
         except Exception as e:
             print(f"  x sincformer: {e}")
+
+    # reference-format .pt checkpoints (migration path): a reference user
+    # can point model_dir at their saved_models/ directory
+    if "conformer" not in pipelines:
+        for name in ("conformer_final.pt", "best_conformer.pt"):
+            pt = os.path.join(model_dir, name)
+            if os.path.exists(pt):
+                from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+                try:
+                    pipelines["conformer"] = \
+                        DCSEPipeline.from_torch_checkpoint(
+                            pt, model_dir=model_dir)
+                    print(f"  + Imported reference checkpoint: {name}")
+                    break
+                except Exception as e:
+                    print(f"  x {name}: {e}")
     return pipelines
 
 

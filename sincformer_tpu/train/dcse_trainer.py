@@ -260,6 +260,28 @@ class DCSEPipeline:
         self.state = restore_checkpoint(path, self.state)
         return path
 
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, model_dir: str | None = None,
+                              **model_overrides) -> "DCSEPipeline":
+        """Inference-ready pipeline from a reference PyTorch checkpoint
+        (conformer_final.pt / best_conformer.pt) via compat/torch_import.
+        The model is built with conv_norm='batch' to carry the reference's
+        BatchNorm running stats."""
+        from sincformer_tpu.compat import load_reference_checkpoint
+        from sincformer_tpu.models.dcse import default_speech_enhancer
+        loaded = load_reference_checkpoint(path)
+        if loaded["kind"] != "dcse":
+            raise ValueError(f"{path} is not a DCSE checkpoint")
+        kw = dict(loaded.get("config", {}))
+        kw.update(model_overrides)
+        model = default_speech_enhancer(conv_norm="batch", **kw)
+        pipe = cls(model=model, model_dir=model_dir)
+        pipe.init_state(epochs=1, steps_per_epoch=1)
+        # variables carry params + batch_stats; model.apply receives the
+        # whole dict through state.params in the enhance path
+        pipe.state = pipe.state.replace(params=loaded["variables"])
+        return pipe
+
     # ── inference ───────────────────────────────────────────────────────
 
     def _enhance_fn(self, padded_len: int):

@@ -95,3 +95,23 @@ class TestDCSEImport:
             ter, tei, _ = tmodel(t_re, t_im)
         t_out = ref_cp.batch_istft(ter, tei, 256, 80, 160, 4000).numpy()[0]
         np.testing.assert_allclose(np.asarray(out[0]), t_out, atol=1e-4)
+
+
+class TestEvaluateDiscoversTorch:
+    def test_grid_discovery_of_pt_file(self, ref_models, tmp_path, rng):
+        """evaluate's discovery loads a reference-format .pt directly."""
+        _, ref_cp = ref_models
+        from sincformer_tpu.evaluation.grid import discover_pipelines
+
+        tmodel = ref_cp.SpeechEnhancer(n_freq=129, d_model=32, num_blocks=1,
+                                       num_heads=2, d_ff=64, kernel_size=7,
+                                       dropout=0.0).eval()
+        torch.save({"model_state": tmodel.state_dict(),
+                    "model_class": "SpeechEnhancer"},
+                   str(tmp_path / "conformer_final.pt"))
+        pipes = discover_pipelines(str(tmp_path))
+        assert "conformer" in pipes
+        out = pipes["conformer"].enhance_signal(
+            rng.standard_normal(4000).astype(np.float32))
+        assert out.shape == (4000,)
+        assert np.all(np.isfinite(out))
