@@ -66,7 +66,8 @@ class SincformerPipeline:
                  lcfg: cfg.LossConfig = cfg.DEFAULT.loss,
                  mesh=None, model_dir: str | None = None, seed: int = 0,
                  perceptual_weight: float | None = None,
-                 lr: float = 5e-4, grad_clip: float = 5.0, logger=None):
+                 lr: float = 5e-4, grad_clip: float = 5.0, logger=None,
+                 use_adversarial: bool = False):
         self.acfg = acfg
         self.fs = acfg.sample_rate
         self.model = model or default_metacog(acfg)
@@ -80,7 +81,13 @@ class SincformerPipeline:
         self.perceptual_weight = (perceptual_weight
                                   if perceptual_weight is not None else 1.0)
         self.vq_weight = lcfg.commitment_weight
+        # stage-3 adversarial loss (reference losses.py:150-289, never wired
+        # there); the reference's 0.5 weight (config.py:112)
+        self.use_adversarial = use_adversarial
+        self.adv_weight = lcfg.adversarial_weight
         self.stoi_loss = PerceptualSTOILoss(self.fs, acfg.fft_size)
+        self.disc = None
+        self.disc_state = None
         self.logger = logger          # utils.observability.MetricsLogger
         self.state: Optional[TrainState] = None
         self.curriculum = CurriculumScheduler()
@@ -108,14 +115,27 @@ class SincformerPipeline:
             apply_fn=self.model.apply, params=params, tx=tx,
             model_state=self.mutable_state,
             nan_count=jnp.zeros((), jnp.int32))
+        if self.use_adversarial:
+            from sincformer_tpu.train.adversarial import \
+                MultiScaleDiscriminator
+            self.disc = MultiScaleDiscriminator()
+            t = spec.shape[-2]
+            dvars = self.disc.init(jax.random.PRNGKey(self.seed + 5),
+                                   jnp.zeros((1, t, self.acfg.n_freq)))
+            import optax
+            dtx = optax.chain(optax.clip_by_global_norm(self.grad_clip),
+                              optax.adam(2e-4))
+            self.disc_state = TrainState.create(
+                apply_fn=self.disc.apply, params=dvars, tx=dtx,
+                nan_count=jnp.zeros((), jnp.int32))
         return self.state
 
     # ── loss ────────────────────────────────────────────────────────────
 
     def _loss(self, params, model_state, noisy, clean, rng, train: bool,
-              use_perceptual, use_vq):
-        """use_perceptual / use_vq are traced 0/1 floats so one compiled
-        step serves every curriculum stage."""
+              use_perceptual, use_vq, disc_params=None, use_adv=None):
+        """use_perceptual / use_vq / use_adv are traced 0/1 floats so one
+        compiled step serves every curriculum stage."""
         n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                              self.acfg.frame_size)
         noisy_spec = stft(noisy, n_fft, hop, frame)
@@ -144,27 +164,74 @@ class SincformerPipeline:
         total = (loss_sisnr + 0.5 * loss_mag + loss_stft
                  + use_perceptual * self.perceptual_weight * loss_stoi
                  + use_vq * self.vq_weight * out["vq_loss"])
+        if disc_params is not None:
+            from sincformer_tpu.train.adversarial import (
+                feature_matching_loss, generator_loss)
+            outs_fake = self.disc.apply(disc_params, enh_mag)
+            outs_real = self.disc.apply(disc_params, clean_mag)
+            g_loss = (generator_loss(outs_fake)
+                      + 0.1 * feature_matching_loss(outs_real, outs_fake))
+            total = total + use_adv * self.adv_weight * g_loss
         aux = {"sisnr": -loss_sisnr, "stoi_loss": loss_stoi,
-               "vq_loss": out["vq_loss"],
+               "vq_loss": out["vq_loss"], "enh_mag": enh_mag,
+               "clean_mag": clean_mag,
                "model_state": new_model_state}
         return total, aux
 
     def _make_train_step(self):
         loss_fn = self._loss
 
+        if not self.use_adversarial:
+
+            @jax.jit
+            def step(state: TrainState, noisy, clean, rng, use_perceptual,
+                     use_vq):
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, state.model_state, noisy, clean,
+                                      rng, True, use_perceptual, use_vq),
+                    has_aux=True)(state.params)
+                grads, is_bad = guard_nan_update(grads, loss)
+                new_state = state.apply_gradients(grads=grads)
+                new_state = new_state.replace(
+                    model_state=aux["model_state"],
+                    nan_count=state.nan_count + is_bad.astype(jnp.int32))
+                return new_state, loss, aux["sisnr"]
+
+            return step
+
+        disc = self.disc
+
         @jax.jit
-        def step(state: TrainState, noisy, clean, rng, use_perceptual,
-                 use_vq):
+        def step(state: TrainState, disc_state: TrainState, noisy, clean,
+                 rng, use_perceptual, use_vq, use_adv):
+            # generator update (disc params frozen inside the loss)
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, state.model_state, noisy, clean, rng,
-                                  True, use_perceptual, use_vq),
+                                  True, use_perceptual, use_vq,
+                                  jax.lax.stop_gradient(disc_state.params),
+                                  use_adv),
                 has_aux=True)(state.params)
             grads, is_bad = guard_nan_update(grads, loss)
             new_state = state.apply_gradients(grads=grads)
             new_state = new_state.replace(
                 model_state=aux["model_state"],
                 nan_count=state.nan_count + is_bad.astype(jnp.int32))
-            return new_state, loss, aux["sisnr"]
+
+            # discriminator update on (clean, stop-grad(enhanced)) magnitudes
+            from sincformer_tpu.train.adversarial import discriminator_loss
+            enh_mag = jax.lax.stop_gradient(aux["enh_mag"])
+            clean_mag = jax.lax.stop_gradient(aux["clean_mag"])
+
+            def d_loss(dp):
+                return discriminator_loss(disc.apply(dp, clean_mag),
+                                          disc.apply(dp, enh_mag))
+
+            dl, dgrads = jax.value_and_grad(d_loss)(disc_state.params)
+            # only train D when the adversarial stage is active
+            dgrads = jax.tree.map(lambda g: use_adv * g, dgrads)
+            dgrads, _ = guard_nan_update(dgrads, dl)
+            new_disc = disc_state.apply_gradients(grads=dgrads)
+            return new_state, new_disc, loss, aux["sisnr"], dl
 
         return step
 
@@ -248,8 +315,17 @@ class SincformerPipeline:
                     sh = shard_batch(self.mesh,
                                      {"noisy": noisy, "clean": clean})
                     noisy, clean = sh["noisy"], sh["clean"]
-                self.state, loss, sisnr = train_step(
-                    self.state, noisy, clean, sub, use_perc, use_vq)
+                if self.use_adversarial:
+                    use_adv = jnp.asarray(
+                        1.0 if "adversarial" in stage.get("loss_type", "")
+                        else 0.0)
+                    (self.state, self.disc_state, loss, sisnr,
+                     _dl) = train_step(self.state, self.disc_state, noisy,
+                                       clean, sub, use_perc, use_vq,
+                                       use_adv)
+                else:
+                    self.state, loss, sisnr = train_step(
+                        self.state, noisy, clean, sub, use_perc, use_vq)
                 losses.append(loss)
                 sisnrs.append(sisnr)
             n_b = len(losses)

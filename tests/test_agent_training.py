@@ -60,3 +60,26 @@ class TestSincformerTraining:
         pipe2.load_model()
         after = pipe2.enhance_signal(noisy)
         np.testing.assert_allclose(before, after, atol=1e-6)
+
+
+class TestAdversarialStage:
+    def test_adversarial_curriculum_runs(self, tmp_path):
+        """Stage 3 with GAN: generator+discriminator alternate; finite."""
+        rng = np.random.default_rng(3)
+        clean = [synthetic_speech(0.5) * (0.7 + 0.6 * rng.random())
+                 for _ in range(6)]
+        noises = {"white": synthetic_noise(8000, seed=4)}
+        pipe = SincformerPipeline(model=tiny_model(),
+                                  model_dir=str(tmp_path),
+                                  use_adversarial=True)
+        pipe.curriculum.stage1_epochs = 1
+        pipe.curriculum.stage2_epochs = 1
+        pipe.curriculum.stage3_epochs = 2
+        pipe.curriculum.total_epochs = 4
+        hist = pipe.train(clean, clean[:2], noises, epochs=4, batch_size=3,
+                          max_len=4000, verbose=False)
+        assert [h["stage"] for h in hist] == [1, 2, 3, 3]
+        assert all(np.isfinite(h["train_loss"]) for h in hist)
+        assert int(pipe.state.nan_count) == 0
+        # discriminator actually trained during stage 3
+        assert int(pipe.disc_state.step) > 0
