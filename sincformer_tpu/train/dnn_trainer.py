@@ -544,3 +544,31 @@ class DNNPipeline:
                  jnp.asarray(std, jnp.float32),
                  jnp.asarray(t_true, jnp.int32))
         return np.asarray(out[:n_true], np.float32)
+
+    def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
+        """Batched enhancement (B, N) → (B, N): the single-utterance jitted
+        program vmapped over the batch (enables the grid fast path)."""
+        if self.state is None:
+            raise RuntimeError("No model loaded. Call load_model() first.")
+        noisy = np.asarray(noisy, np.float32)
+        b, n = noisy.shape
+        t_true = (n - self.acfg.frame_size) // self.acfg.hop_size + 1
+        mean = (self.feat_mean if self.feat_mean is not None
+                else np.zeros(self.feature_dim, np.float32))
+        std = (self.feat_std if self.feat_std is not None
+               else np.ones(self.feature_dim, np.float32))
+        key = ("batch", n)
+        if key not in getattr(self, "_enh_jit", {}):
+            single = self._enhance_fn(n)
+            try:
+                _cpu = jax.devices("cpu")[0]
+            except Exception:  # pragma: no cover
+                _cpu = None
+            self._enh_jit[key] = functools.partial(
+                jax.jit, device=_cpu)(jax.vmap(
+                    single, in_axes=(None, 0, None, None, None)))
+        out = self._enh_jit[key](self.state.params, jnp.asarray(noisy),
+                                 jnp.asarray(mean, jnp.float32),
+                                 jnp.asarray(std, jnp.float32),
+                                 jnp.asarray(t_true, jnp.int32))
+        return np.asarray(out, np.float32)

@@ -135,3 +135,21 @@ class TestDNNTraining:
         wsum[wsum < 1e-8] = 1.0
         theirs = enhanced / wsum
         np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+class TestBatchedEnhance:
+    def test_enhance_batch_matches_single(self, tiny_data, tmp_path):
+        clean, noises = tiny_data
+        pipe = DNNPipeline(mask_type="irm", use_rbm_pretrain=False,
+                           model_dir=str(tmp_path))
+        train, test = pipe.prepare_arrays(clean[:3], noises)
+        pipe.train(train, test, epochs=1, batch_size=64, verbose=False)
+        rng = np.random.default_rng(9)
+        noisy = np.stack([c + 0.2 * rng.standard_normal(len(c))
+                          .astype(np.float32) for c in clean[:3]])
+        batch_out = pipe.enhance_batch(noisy)
+        for b in range(3):
+            single = pipe.enhance_signal(noisy[b],
+                                         pad_quantum=noisy.shape[1])
+            np.testing.assert_allclose(batch_out[b], single,
+                                       rtol=1e-4, atol=1e-3)
