@@ -192,6 +192,46 @@ def evaluate(args):
                         model_dir=cfg.DEFAULT.data.model_dir)
 
 
+def enhance(args):
+    """Enhance a WAV file with the best available trained model (long-form
+    audio handled by the streaming chunker). New over the reference, which
+    has no file-level enhancement entry point."""
+    from scipy.io import wavfile
+
+    from sincformer_tpu import config as cfg
+    from sincformer_tpu.data import load_audio
+    from sincformer_tpu.evaluation.grid import discover_pipelines
+    from sincformer_tpu.serve import StreamingEnhancer
+
+    fs = cfg.DEFAULT.audio.sample_rate
+    # preference order: flagship > DCSE > DNN masks; load ONLY the first
+    # available (model init is expensive on a remote TPU)
+    prefer = getattr(args, "model", None)
+    order = ([prefer] if prefer else
+             ["sincformer", "conformer", "pcirm", "opt_pcirm", "irm"])
+    pipe = name = None
+    for cand in order:
+        found = discover_pipelines(cfg.DEFAULT.data.model_dir,
+                                   names=[cand])
+        if cand in found:
+            name, pipe = cand, found[cand]
+            break
+    if pipe is None:
+        print("  No trained models found — train one first.")
+        return
+    print(f"  Using model: {name}")
+
+    noisy = load_audio(args.input, fs)
+    print(f"  Input: {args.input} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
+    t0 = time.time()
+    enhanced = StreamingEnhancer(pipe).enhance(noisy)
+    dt = time.time() - t0
+    wavfile.write(args.output, fs,
+                  np.clip(enhanced, -1.0, 1.0).astype(np.float32))
+    print(f"  Enhanced → {args.output}  "
+          f"({dt:.2f}s wall, {len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
+
+
 def info(args):
     """System/config info (reference main.py:445-471)."""
     import jax
@@ -251,6 +291,14 @@ def main(argv=None):
     ep = sub.add_parser("evaluate", help="Full 5-metric grid evaluation")
     ep.add_argument("--max-eval", type=int, default=50)
 
+    enp = sub.add_parser("enhance", help="Enhance a WAV file")
+    enp.add_argument("input", help="Input WAV path")
+    enp.add_argument("output", help="Output WAV path")
+    enp.add_argument("--model", default=None,
+                     choices=["sincformer", "conformer", "pcirm",
+                              "opt_pcirm", "irm"],
+                     help="Model to use (default: best available)")
+
     sub.add_parser("info", help="Print system configuration")
     # the `test` alias the reference's usage string promises (main.py:6)
     tstp = sub.add_parser("test", help="Alias for evaluate")
@@ -263,6 +311,8 @@ def main(argv=None):
         train(args)
     elif args.command in ("evaluate", "test"):
         evaluate(args)
+    elif args.command == "enhance":
+        enhance(args)
     elif args.command == "info":
         info(args)
     else:

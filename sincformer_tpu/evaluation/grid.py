@@ -30,14 +30,26 @@ _METRIC_FNS = {"stoi": compute_stoi, "pesq": compute_pesq,
                "ncm": compute_ncm}
 
 
-def discover_pipelines(model_dir: str) -> Dict[str, object]:
-    """Load every trained checkpoint found (reference main.py:238-262)."""
+def discover_pipelines(model_dir: str,
+                       names: Sequence[str] | None = None
+                       ) -> Dict[str, object]:
+    """Load trained checkpoints (reference main.py:238-262).
+
+    ``names`` restricts which model kinds are loaded (model init/compile is
+    expensive on a remote TPU; callers that need one model should ask for
+    one).
+    """
     pipelines: Dict[str, object] = {}
+
+    def _want(name):
+        return names is None or name in names
 
     def _has(name):
         return os.path.isdir(os.path.join(model_dir, name))
 
     for mt in ("pcirm", "opt_pcirm", "irm"):
+        if not _want(mt):
+            continue
         if _has(f"dnn_{mt}_final") or _has(f"best_{mt}"):
             from sincformer_tpu.train.dnn_trainer import DNNPipeline
             p = DNNPipeline(mask_type=mt, use_rbm_pretrain=False,
@@ -48,7 +60,8 @@ def discover_pipelines(model_dir: str) -> Dict[str, object]:
                 print(f"  + Found trained model: {mt}")
             except Exception as e:
                 print(f"  x {mt}: {e}")
-    if _has("conformer_final") or _has("best_conformer"):
+    if _want("conformer") and (_has("conformer_final")
+                               or _has("best_conformer")):
         from sincformer_tpu.train.dcse_trainer import DCSEPipeline
         p = DCSEPipeline(model_dir=model_dir)
         try:
@@ -57,7 +70,8 @@ def discover_pipelines(model_dir: str) -> Dict[str, object]:
             print("  + Found trained model: conformer (DCSE)")
         except Exception as e:
             print(f"  x conformer: {e}")
-    if _has("sincformer_final") or _has("best_sincformer"):
+    if _want("sincformer") and (_has("sincformer_final")
+                                or _has("best_sincformer")):
         from sincformer_tpu.train.agent_trainer import SincformerPipeline
         p = SincformerPipeline(model_dir=model_dir)
         try:
@@ -69,7 +83,7 @@ def discover_pipelines(model_dir: str) -> Dict[str, object]:
 
     # reference-format .pt checkpoints (migration path): a reference user
     # can point model_dir at their saved_models/ directory
-    if "conformer" not in pipelines:
+    if _want("conformer") and "conformer" not in pipelines:
         for name in ("conformer_final.pt", "best_conformer.pt"):
             pt = os.path.join(model_dir, name)
             if os.path.exists(pt):
