@@ -5,3 +5,7 @@ from sincformer_tpu.compat.torch_import import (  # noqa: F401
     import_dcse_state_dict,
     load_reference_checkpoint,
 )
+from sincformer_tpu.compat.torch_export import (  # noqa: F401
+    export_dcse_state_dict,
+    save_reference_checkpoint,
+)

@@ -115,3 +115,53 @@ class TestEvaluateDiscoversTorch:
             rng.standard_normal(4000).astype(np.float32))
         assert out.shape == (4000,)
         assert np.all(np.isfinite(out))
+
+
+class TestExportRoundTrip:
+    def test_export_then_torch_forward_matches(self, ref_models, tmp_path,
+                                               rng):
+        """Train-here → export .pt → load in the torch reference → same
+        forward output. Closes the migration loop in both directions."""
+        _, ref_cp = ref_models
+        from sincformer_tpu.compat import save_reference_checkpoint
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+        import jax
+
+        ours = SpeechEnhancer(n_freq=33, d_model=32, num_blocks=2,
+                              num_heads=2, d_ff=64, kernel_size=7,
+                              dropout=0.0, conv_norm="batch")
+        re = rng.standard_normal((2, 12, 33)).astype(np.float32)
+        im = rng.standard_normal((2, 12, 33)).astype(np.float32)
+        variables = ours.init(jax.random.PRNGKey(3), jnp.asarray(re),
+                              jnp.asarray(im))
+        path = str(tmp_path / "exported.pt")
+        save_reference_checkpoint(variables, path)
+
+        tmodel = ref_cp.SpeechEnhancer(n_freq=33, d_model=32, num_blocks=2,
+                                       num_heads=2, d_ff=64, kernel_size=7,
+                                       dropout=0.0)
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        tmodel.load_state_dict(ckpt["model_state"])
+        tmodel.eval()
+
+        mine = ours.apply(variables, jnp.asarray(re), jnp.asarray(im),
+                          deterministic=True)
+        with torch.no_grad():
+            theirs = tmodel(torch.from_numpy(re), torch.from_numpy(im))
+        np.testing.assert_allclose(np.asarray(mine[0]), theirs[0].numpy(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(mine[2]), theirs[2].numpy(),
+                                   atol=2e-5)
+
+    def test_layer_norm_model_rejected(self, rng):
+        from sincformer_tpu.compat import export_dcse_state_dict
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+        import jax
+
+        ours = SpeechEnhancer(n_freq=33, d_model=32, num_blocks=1,
+                              num_heads=2, d_ff=64, kernel_size=7,
+                              dropout=0.0)  # default conv_norm="layer"
+        v = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 33)),
+                      jnp.zeros((1, 4, 33)))
+        with pytest.raises(ValueError, match="conv_norm='batch'"):
+            export_dcse_state_dict(v)
