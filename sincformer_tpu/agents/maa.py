@@ -47,7 +47,9 @@ class MetacognitiveArbitrationAgent(nn.Module):
 
     @nn.compact
     def __call__(self, sigma: jnp.ndarray, train: bool = False,
-                 rng_key=None) -> Dict[str, jnp.ndarray]:
+                 rng_key=None, tau=None) -> Dict[str, jnp.ndarray]:
+        """``tau`` overrides the Gumbel temperature (annealing schedules
+        pass a traced value; default: the static field)."""
         if sigma.ndim == 3:
             sigma = sigma[:, 0, :]                        # (B, T)
 
@@ -86,7 +88,8 @@ class MetacognitiveArbitrationAgent(nn.Module):
             g = -jnp.log(-jnp.log(
                 jax.random.uniform(rng_key, logits.shape, minval=1e-10,
                                    maxval=1.0) + 1e-10))
-            y_soft = nn.softmax((logits + g) / self.tau, axis=-1)
+            t = self.tau if tau is None else tau
+            y_soft = nn.softmax((logits + g) / t, axis=-1)
             # straight-through one-hot
             idx = jnp.argmax(y_soft, axis=-1)
             y_hard = jax.nn.one_hot(idx, self.num_classes)

@@ -74,7 +74,9 @@ class SincformerMetacog(nn.Module):
     @nn.compact
     def __call__(self, waveform: jnp.ndarray, stft_real: jnp.ndarray,
                  stft_imag: jnp.ndarray, train: bool = False,
-                 use_vq: bool = True) -> Dict[str, jnp.ndarray]:
+                 use_vq: bool = True,
+                 gumbel_tau: float | jnp.ndarray | None = None
+                 ) -> Dict[str, jnp.ndarray]:
         # ── Perception ───────────────────────────────────────────────────
         pa = PerceptionAgent(self.encoder_channels, self.sample_rate,
                              self.sinc_kernel_size, self.hop, name="pa")
@@ -112,7 +114,10 @@ class SincformerMetacog(nn.Module):
 
         # ── Strategies ───────────────────────────────────────────────────
         soft = mask_mag
-        if self.enable_resample and train:
+        # RESAMPLE: dropout-ensemble second MSA pass (maa.py:9-11). Active
+        # in training, and at inference whenever the caller supplies a
+        # dropout rng (apply(..., rngs={'dropout': key}) opts in).
+        if self.enable_resample and (train or self.has_rng("dropout")):
             mask_r2, mask_i2 = msa(z_real_t, z_imag_t, cpea, sr, si,
                                    deterministic=False)
             mag2 = jnp.clip(jnp.sqrt(mask_r2 ** 2 + mask_i2 ** 2 + 1e-12)
@@ -132,7 +137,7 @@ class SincformerMetacog(nn.Module):
         # ── MAA routing ──────────────────────────────────────────────────
         maa = MetacognitiveArbitrationAgent(routing=self.routing,
                                             name="maa")
-        routing = maa(sigma_t, train=train)
+        routing = maa(sigma_t, train=train, tau=gumbel_tau)
         route = routing["route"]                       # (B, T, 4)
 
         strategies = jnp.stack([soft, resample, hard, escalate],

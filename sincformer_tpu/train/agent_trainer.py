@@ -133,9 +133,10 @@ class SincformerPipeline:
     # ── loss ────────────────────────────────────────────────────────────
 
     def _loss(self, params, model_state, noisy, clean, rng, train: bool,
-              use_perceptual, use_vq, disc_params=None, use_adv=None):
-        """use_perceptual / use_vq / use_adv are traced 0/1 floats so one
-        compiled step serves every curriculum stage."""
+              use_perceptual, use_vq, disc_params=None, use_adv=None,
+              gumbel_tau=None):
+        """use_perceptual / use_vq / use_adv / gumbel_tau are traced
+        scalars so one compiled step serves every curriculum stage."""
         n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                              self.acfg.frame_size)
         noisy_spec = stft(noisy, n_fft, hop, frame)
@@ -147,6 +148,7 @@ class SincformerPipeline:
         out, new_model_state = self.model.apply(
             {"params": params, **model_state},
             noisy, noisy_spec.real, noisy_spec.imag, train=train,
+            gumbel_tau=gumbel_tau,
             rngs=rngs, mutable=["maa_stats", "memory_stats"])
         enh_r, enh_i = out["enhanced_real"], out["enhanced_imag"]
         enh_wav = istft(enh_r + 1j * enh_i, n_fft, hop, frame,
@@ -185,10 +187,11 @@ class SincformerPipeline:
 
             @jax.jit
             def step(state: TrainState, noisy, clean, rng, use_perceptual,
-                     use_vq):
+                     use_vq, gumbel_tau):
                 (loss, aux), grads = jax.value_and_grad(
                     lambda p: loss_fn(p, state.model_state, noisy, clean,
-                                      rng, True, use_perceptual, use_vq),
+                                      rng, True, use_perceptual, use_vq,
+                                      gumbel_tau=gumbel_tau),
                     has_aux=True)(state.params)
                 grads, is_bad = guard_nan_update(grads, loss)
                 new_state = state.apply_gradients(grads=grads)
@@ -203,13 +206,13 @@ class SincformerPipeline:
 
         @jax.jit
         def step(state: TrainState, disc_state: TrainState, noisy, clean,
-                 rng, use_perceptual, use_vq, use_adv):
+                 rng, use_perceptual, use_vq, use_adv, gumbel_tau):
             # generator update (disc params frozen inside the loss)
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, state.model_state, noisy, clean, rng,
                                   True, use_perceptual, use_vq,
                                   jax.lax.stop_gradient(disc_state.params),
-                                  use_adv),
+                                  use_adv, gumbel_tau),
                 has_aux=True)(state.params)
             grads, is_bad = guard_nan_update(grads, loss)
             new_state = state.apply_gradients(grads=grads)
@@ -297,6 +300,11 @@ class SincformerPipeline:
             use_perc = jnp.asarray(
                 1.0 if "perceptual" in stage.get("loss_type", "") else 0.0)
             use_vq = jnp.asarray(1.0 if stage.get("use_vq") else 0.0)
+            # Gumbel temperature annealing: 2.0 → 0.5 over the run (softer
+            # early routing, near-discrete late)
+            gumbel_tau = jnp.asarray(
+                max(0.5, 2.0 * float(np.exp(-3.0 * epoch
+                                            / max(epochs - 1, 1)))))
 
             train_ds = self.remix_for_stage(clean_train, noises,
                                             stage["snr_levels"], max_len,
@@ -322,10 +330,11 @@ class SincformerPipeline:
                     (self.state, self.disc_state, loss, sisnr,
                      _dl) = train_step(self.state, self.disc_state, noisy,
                                        clean, sub, use_perc, use_vq,
-                                       use_adv)
+                                       use_adv, gumbel_tau)
                 else:
                     self.state, loss, sisnr = train_step(
-                        self.state, noisy, clean, sub, use_perc, use_vq)
+                        self.state, noisy, clean, sub, use_perc, use_vq,
+                        gumbel_tau)
                 losses.append(loss)
                 sisnrs.append(sisnr)
             n_b = len(losses)
