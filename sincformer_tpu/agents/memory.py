@@ -27,9 +27,15 @@ class EpisodicMemory(nn.Module):
     num_slots: int = 64
     temperature: float = 1.0
 
+    episodic_slots: int = 0       # >0 enables the WRITE path (see below)
+    write_momentum: float = 0.5
+    write_threshold: float = 0.7  # cosine: below this → new environment
+
     @nn.compact
     def __call__(self, environment_embedding: jnp.ndarray,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
+                 train: bool = False,
+                 write_value: jnp.ndarray | None = None
+                 ) -> Dict[str, jnp.ndarray]:
         keys = self.param("keys", nn.initializers.normal(0.01),
                           (self.num_slots, self.key_dim))
         values = self.param("values", nn.initializers.normal(0.01),
@@ -40,9 +46,45 @@ class EpisodicMemory(nn.Module):
         q = nn.gelu(q)
         query = nn.Dense(self.key_dim, name="key_proj2")(q)
 
+        # ── episodic WRITE path (new capability) ─────────────────────────
+        # The reference only READS its memory; its docstring promises
+        # continual adaptation to new noise environments (memory.py:2-13).
+        # Here a non-learnable episodic bank lives in a mutable collection:
+        # when a queried environment is far from every stored key (cosine
+        # below write_threshold) the least-recently-used slot is overwritten
+        # with the batch-mean (embedding, statistics) pair; near matches
+        # update their slot by EMA. Reads attend over BOTH banks.
+        ep = self.episodic_slots
+        if ep > 0:
+            ep_keys = self.variable("memory_bank", "keys",
+                                    lambda: jnp.zeros((ep, self.key_dim)))
+            ep_vals = self.variable("memory_bank", "values",
+                                    lambda: jnp.zeros((ep, self.value_dim)))
+            ep_age = self.variable("memory_bank", "age",
+                                   lambda: jnp.full((ep,), 1e9))
+            if write_value is not None:
+                emb = jnp.mean(jax.lax.stop_gradient(query), axis=0)
+                val = jnp.mean(jax.lax.stop_gradient(write_value), axis=0)
+                en = emb / (jnp.linalg.norm(emb) + 1e-8)
+                ekn = ep_keys.value / (jnp.linalg.norm(
+                    ep_keys.value, axis=-1, keepdims=True) + 1e-8)
+                sims = ekn @ en                              # (ep,)
+                best = jnp.argmax(sims)
+                is_new = sims[best] < self.write_threshold
+                slot = jnp.where(is_new, jnp.argmax(ep_age.value), best)
+                m = jnp.where(is_new, 1.0, self.write_momentum)
+                one = jax.nn.one_hot(slot, ep)[:, None]
+                ep_keys.value = (ep_keys.value * (1 - one * m)
+                                 + one * m * emb[None, :])
+                ep_vals.value = (ep_vals.value * (1 - one * m)
+                                 + one * m * val[None, :])
+                ep_age.value = (ep_age.value + 1.0) * (1.0 - one[:, 0])
+            keys = jnp.concatenate([keys, ep_keys.value], axis=0)
+            values = jnp.concatenate([values, ep_vals.value], axis=0)
+
         qn = query / (jnp.linalg.norm(query, axis=-1, keepdims=True) + 1e-8)
         kn = keys / (jnp.linalg.norm(keys, axis=-1, keepdims=True) + 1e-8)
-        similarity = (qn @ kn.T) / self.temperature        # (B, slots)
+        similarity = (qn @ kn.T) / self.temperature        # (B, slots[+ep])
         attention = nn.softmax(similarity, axis=-1)
         retrieved = attention @ values                     # (B, value_dim)
 

@@ -65,6 +65,7 @@ class SincformerMetacog(nn.Module):
     vq_centroids: int = 3
     vq_commitment: float = 0.25
     memory_slots: int = 64
+    episodic_slots: int = 16      # writable bank (continual adaptation)
     routing: str = "gumbel"
     enable_resample: bool = True
     sample_rate: int = 8000
@@ -107,9 +108,16 @@ class SincformerMetacog(nn.Module):
 
         # ── Episodic memory bias on the magnitude ────────────────────────
         pooled = jnp.mean(z_real_t, axis=-1)          # (B, D)
+        # during training, WRITE the current environment's mask statistics
+        # into the episodic bank (keys: env embedding, values: per-freq mean
+        # mask — "recent mask statistics", reference memory.py:7-9)
+        write_value = (jnp.mean(mask_mag, axis=1)
+                       if (train and self.episodic_slots > 0) else None)
         mem = EpisodicMemory(self.encoder_channels, self.n_freq,
-                             self.memory_slots, name="memory")(
-            pooled, train=train)
+                             self.memory_slots,
+                             episodic_slots=self.episodic_slots,
+                             name="memory")(
+            pooled, train=train, write_value=write_value)
         mask_mag = jnp.clip(mask_mag + mem["bias"][:, None, :], 0.0, 1.0)
 
         # ── Strategies ───────────────────────────────────────────────────

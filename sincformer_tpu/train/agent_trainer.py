@@ -108,7 +108,8 @@ class SincformerPipeline:
             wav, spec.real, spec.imag, train=True)
         params = variables["params"]
         self.mutable_state = {k: v for k, v in variables.items()
-                              if k in ("maa_stats", "memory_stats")}
+                              if k in ("maa_stats", "memory_stats",
+                                       "memory_bank")}
         tx = make_adamw(self.lr, epochs, steps_per_epoch,
                         grad_clip=self.grad_clip)
         self.state = TrainState.create(
@@ -149,7 +150,8 @@ class SincformerPipeline:
             {"params": params, **model_state},
             noisy, noisy_spec.real, noisy_spec.imag, train=train,
             gumbel_tau=gumbel_tau,
-            rngs=rngs, mutable=["maa_stats", "memory_stats"])
+            rngs=rngs,
+            mutable=["maa_stats", "memory_stats", "memory_bank"])
         enh_r, enh_i = out["enhanced_real"], out["enhanced_imag"]
         enh_wav = istft(enh_r + 1j * enh_i, n_fft, hop, frame,
                         length=clean.shape[-1])

@@ -194,7 +194,7 @@ class TestSincformerMetacog:
                 train=True,
                 rngs={"dropout": jax.random.PRNGKey(3),
                       "routing": jax.random.PRNGKey(4)},
-                mutable=["maa_stats", "memory_stats"])[0]
+                mutable=["maa_stats", "memory_stats", "memory_bank"])[0]
             return (jnp.mean(out["enhanced_real"] ** 2)
                     + out["vq_loss"])
 
@@ -217,3 +217,59 @@ class TestSincformerMetacog:
         out = model.apply(variables, wav, spec.real, spec.imag, train=False)
         # sanity only: escalate frames exist in the enum range
         assert int(jnp.max(out["decisions"])) <= 3
+
+
+class TestEpisodicWritePath:
+    def test_write_updates_bank_and_retrieval(self, rng):
+        import jax
+        mem = EpisodicMemory(key_dim=16, value_dim=8, num_slots=4,
+                             episodic_slots=4)
+        emb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+        val = jnp.asarray(rng.uniform(0, 1, (2, 8)), jnp.float32)
+        variables = mem.init(jax.random.PRNGKey(0), emb)
+        # first write: bank empty → writes a fresh slot
+        _, mut = mem.apply(variables, emb, train=True, write_value=val,
+                           mutable=["memory_stats", "memory_bank"])
+        bank = mut["memory_bank"]
+        assert float(jnp.sum(jnp.abs(bank["keys"]))) > 0
+        written = int(jnp.sum(jnp.any(bank["values"] != 0, axis=-1)))
+        assert written == 1
+        # same environment again → EMA update of the SAME slot, not a new one
+        v2 = {**variables, **mut}
+        _, mut2 = mem.apply(v2, emb, train=True, write_value=val,
+                            mutable=["memory_stats", "memory_bank"])
+        written2 = int(jnp.sum(jnp.any(
+            mut2["memory_bank"]["values"] != 0, axis=-1)))
+        assert written2 == 1
+        # a very different environment → a second slot
+        emb_new = -5.0 * emb + 3.0
+        v3 = {**variables, **mut2}
+        _, mut3 = mem.apply(v3, emb_new, train=True, write_value=val * 0.1,
+                            mutable=["memory_stats", "memory_bank"])
+        written3 = int(jnp.sum(jnp.any(
+            mut3["memory_bank"]["values"] != 0, axis=-1)))
+        assert written3 >= 2
+
+    def test_metacog_with_episodic_bank(self, rng):
+        import jax
+        from sincformer_tpu.dsp.stft import stft
+        model = SincformerMetacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, n_freq=129, msa_blocks=1, num_heads=2, d_ff=64,
+            kernel_size=7, dropout=0.0, memory_slots=4, episodic_slots=4,
+            sinc_kernel_size=65)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)
+        spec = stft(wav)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1),
+             "routing": jax.random.PRNGKey(2)},
+            wav, spec.real, spec.imag, train=True)
+        out, mut = model.apply(
+            variables, wav, spec.real, spec.imag, train=True,
+            rngs={"dropout": jax.random.PRNGKey(3),
+                  "routing": jax.random.PRNGKey(4)},
+            mutable=["maa_stats", "memory_stats", "memory_bank"])
+        bank = mut["memory_bank"]["memory"]
+        assert float(jnp.sum(jnp.abs(bank["keys"]))) > 0
+        assert bool(jnp.all(jnp.isfinite(out["enhanced_real"])))
