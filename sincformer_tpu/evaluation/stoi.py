@@ -188,6 +188,84 @@ def stoi_full(clean, enhanced, fs: int = 8000, extended: bool = False) -> float:
     return float(np.mean(d))
 
 
+def stoi_full_jax(clean: jnp.ndarray, enhanced: jnp.ndarray,
+                  fs: int = 8000) -> jnp.ndarray:
+    """Jittable full Taal-2011 STOI (fixed shapes, masked silent frames).
+
+    Device variant of :func:`stoi_full` for batched fitness/eval (vmap-able).
+    Silent-frame removal is expressed with fixed shapes: a stable
+    compaction (valid frames first) followed by the same
+    re-overlap-add + re-frame the host algorithm performs, with segment
+    validity masks in place of dynamic lengths. The only numerical
+    difference vs :func:`stoi_full` is the FFT-domain resampler to 10 kHz
+    (polyphase on host).
+    """
+    from sincformer_tpu.utils.signal import resample_poly_fft
+
+    x = jnp.asarray(clean, jnp.float32)
+    y = jnp.asarray(enhanced, jnp.float32)
+    if fs != _FS_STOI:
+        x = resample_poly_fft(x, fs, _FS_STOI)
+        y = resample_poly_fft(y, fs, _FS_STOI)
+    hop = _N_FRAME // 2
+    w = jnp.asarray(np.hanning(_N_FRAME + 2)[1:-1], jnp.float32)
+    xf = frame_signal(x, _N_FRAME, hop) * w            # (T, L)
+    yf = frame_signal(y, _N_FRAME, hop) * w
+    t = xf.shape[0]
+
+    energies = 20.0 * jnp.log10(
+        jnp.linalg.norm(xf, axis=1) + 1e-16)
+    valid = energies > (jnp.max(energies) - _DYN_RANGE)  # (T,)
+
+    # stable compaction: valid frames first, original order preserved;
+    # invalid frames zeroed so the re-overlap-add tail is silent
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    keep = valid[order][:, None]
+    xf = xf[order] * keep
+    yf = yf[order] * keep
+    n_valid = jnp.sum(valid)
+
+    # re-overlap-add the retained frames and re-frame (exactly the host
+    # algorithm's reconstruction, _remove_silent_frames + re-framing)
+    from sincformer_tpu.utils.signal import overlap_add
+    total = (t - 1) * hop + _N_FRAME
+    xol = overlap_add(xf, hop, total)
+    yol = overlap_add(yf, hop, total)
+    xf = frame_signal(xol, _N_FRAME, hop) * w
+    yf = frame_signal(yol, _N_FRAME, hop) * w
+
+    xs = jnp.abs(jnp.fft.rfft(xf, n=_NFFT, axis=1))
+    ys = jnp.abs(jnp.fft.rfft(yf, n=_NFFT, axis=1))
+    obm, _ = _third_octave_bands()
+    obm = jnp.asarray(obm, jnp.float32)
+    xb = jnp.sqrt(jnp.einsum("bf,tf->bt", obm, xs ** 2))   # (bands, T)
+    yb = jnp.sqrt(jnp.einsum("bf,tf->bt", obm, ys ** 2))
+
+    # sliding segments of N=30 compacted frames; segment m covers
+    # [m, m+30) and is valid when m+30 <= n_valid
+    n_seg = t - _N_SEG + 1
+    if n_seg < 1:
+        return jnp.asarray(0.0)
+    seg_idx = (np.arange(n_seg)[:, None]
+               + np.arange(_N_SEG)[None, :])               # (M, 30)
+    xseg = xb[:, seg_idx]                                  # (bands, M, 30)
+    yseg = yb[:, seg_idx]
+    seg_valid = (jnp.arange(n_seg) + _N_SEG) <= n_valid    # (M,)
+
+    c = 10.0 ** (-_BETA / 20.0)
+    alpha = jnp.sqrt(jnp.sum(xseg ** 2, -1, keepdims=True)
+                     / (jnp.sum(yseg ** 2, -1, keepdims=True) + 1e-16))
+    yprime = jnp.minimum(yseg * alpha, xseg * (1 + c))
+    xm = xseg - jnp.mean(xseg, -1, keepdims=True)
+    ym = yprime - jnp.mean(yprime, -1, keepdims=True)
+    corr = (jnp.sum(xm * ym, -1)
+            / (jnp.linalg.norm(xm, axis=-1)
+               * jnp.linalg.norm(ym, axis=-1) + 1e-16))    # (bands, M)
+    per_seg = jnp.mean(corr, axis=0)                       # (M,)
+    denom = jnp.maximum(jnp.sum(seg_valid), 1)
+    return jnp.sum(jnp.where(seg_valid, per_seg, 0.0)) / denom
+
+
 # ─── Dispatcher (reference-compatible) ───────────────────────────────────────
 
 def compute_stoi(clean_signal, enhanced_signal, fs: int | None = None,

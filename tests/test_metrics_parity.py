@@ -88,3 +88,59 @@ class TestNCM:
     def test_identity(self, rng):
         clean, _ = _pair(rng)
         assert compute_ncm(clean, clean) > 0.95
+
+
+class TestFullSTOIJax:
+    def test_matches_host_full_stoi(self, rng):
+        from sincformer_tpu.evaluation.stoi import stoi_full, stoi_full_jax
+        import jax.numpy as jnp
+        clean, enh = _pair(rng, n=16000)
+        host = stoi_full(clean, enh)
+        dev = float(stoi_full_jax(jnp.asarray(clean, jnp.float32),
+                                  jnp.asarray(enh, jnp.float32)))
+        assert abs(host - dev) < 2e-2, (host, dev)
+
+    def test_with_silence_exact_at_10k(self, rng):
+        """Leading/trailing silence exercises the masked frame removal.
+        At the native 10 kHz rate (no resampling) the fixed-shape masked
+        algorithm matches the host algorithm to float precision; any
+        remaining 8 kHz delta is purely the FFT-vs-polyphase resampler."""
+        from sincformer_tpu.evaluation.stoi import stoi_full, stoi_full_jax
+        import jax.numpy as jnp
+        clean, enh = _pair(rng, n=15000)
+        clean = np.concatenate([np.zeros(5000), clean, np.zeros(5000)])
+        enh = np.concatenate([np.zeros(5000), enh, np.zeros(5000)])
+        host = stoi_full(clean, enh, fs=10000)
+        dev = float(stoi_full_jax(jnp.asarray(clean, jnp.float32),
+                                  jnp.asarray(enh, jnp.float32), fs=10000))
+        assert abs(host - dev) < 1e-3, (host, dev)
+        # cross-resampler sanity at 8 kHz
+        host8 = stoi_full(clean[:16000], enh[:16000])
+        dev8 = float(stoi_full_jax(jnp.asarray(clean[:16000], jnp.float32),
+                                   jnp.asarray(enh[:16000], jnp.float32)))
+        assert abs(host8 - dev8) < 5e-2, (host8, dev8)
+
+    def test_jit_and_vmap(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.evaluation.stoi import stoi_full_jax
+        clean = np.stack([_pair(rng, n=8000)[0] for _ in range(3)]
+                         ).astype(np.float32)
+        enh = clean + 0.2 * rng.standard_normal(clean.shape
+                                                ).astype(np.float32)
+        f = jax.jit(jax.vmap(stoi_full_jax))
+        out = np.asarray(f(jnp.asarray(clean), jnp.asarray(enh)))
+        assert out.shape == (3,)
+        assert np.all((out >= 0) & (out <= 1))
+
+    def test_ordering(self, rng):
+        import jax.numpy as jnp
+        from sincformer_tpu.evaluation.stoi import stoi_full_jax
+        clean, _ = _pair(rng, n=16000)
+        slight = clean + 0.05 * rng.standard_normal(len(clean))
+        heavy = clean + 1.0 * rng.standard_normal(len(clean))
+        a = float(stoi_full_jax(jnp.asarray(clean, jnp.float32),
+                                jnp.asarray(slight, jnp.float32)))
+        b = float(stoi_full_jax(jnp.asarray(clean, jnp.float32),
+                                jnp.asarray(heavy, jnp.float32)))
+        assert a > b
