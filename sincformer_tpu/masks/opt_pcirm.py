@@ -104,13 +104,18 @@ def reconstruct_scalar_gain(mask: jnp.ndarray, noisy_signal: jnp.ndarray,
 def compute_opt_pcirm(pcirm, noisy_signal=None, clean_signal=None,
                       fs: int | None = None, num_steps: int | None = None,
                       use_pso: bool = True, pso_config: dict | None = None,
-                      rng=None):
+                      rng=None, fitness: str = "simplified"):
     """Full OPT-PCIRM (reference opt_pcirm.py:101-202).
 
     With ``use_pso=False`` returns the fixed-step quantization. With PSO the
     middle step is optimised to maximise STOI of the scalar-gain
     reconstruction — the swarm's fitness evaluations run as one vmapped
     batch per iteration (see optim/pso.py).
+
+    ``fitness``: "simplified" reproduces the reference-as-run (its pystoi-
+    less fallback correlation STOI); "full" uses the jittable Taal-2011
+    STOI (evaluation/stoi.py::stoi_full_jax) — the closer intelligibility
+    objective the reference would have used with pystoi installed.
 
     Returns:
         (opt_mask, step_values, optimized_middle)
@@ -125,9 +130,10 @@ def compute_opt_pcirm(pcirm, noisy_signal=None, clean_signal=None,
 
     import jax
 
-    from sincformer_tpu.evaluation.stoi import stoi_jax
+    from sincformer_tpu.evaluation.stoi import stoi_full_jax, stoi_jax
     from sincformer_tpu.optim.pso import ParticleSwarmOptimizer
 
+    stoi_fn = stoi_full_jax if fitness == "full" else stoi_jax
     pcirm = jnp.asarray(pcirm)
     noisy = jnp.asarray(noisy_signal, jnp.float32)
     clean = jnp.asarray(clean_signal, jnp.float32)
@@ -136,7 +142,7 @@ def compute_opt_pcirm(pcirm, noisy_signal=None, clean_signal=None,
         cand = quantize_pcirm(pcirm, steps, middle_value=x_middle)
         enhanced = reconstruct_scalar_gain(cand, noisy,
                                            acfg.frame_size, acfg.hop_size)
-        return stoi_jax(clean, enhanced, fs)
+        return stoi_fn(clean, enhanced, fs)
 
     batched_fitness = jax.jit(jax.vmap(fitness_one))
 

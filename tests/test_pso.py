@@ -87,3 +87,17 @@ class TestOptPCIRMFullPath:
         mask, steps, middle = compute_opt_pcirm(pcirm, use_pso=False)
         assert middle == steps[1]
         assert len(np.unique(np.round(np.asarray(mask), 6))) <= 3
+
+    def test_full_stoi_fitness(self):
+        """PSO with the Taal-2011 device STOI as fitness."""
+        clean = synthetic_speech(1.0)
+        noise = synthetic_noise(len(clean), seed=2)
+        noisy = add_noise_at_snr(clean, noise, 0)
+        rng = np.random.default_rng(8)
+        pcirm = rng.uniform(0, 1, (64, (len(clean) - 160) // 80 + 1))
+        mask, steps, middle = compute_opt_pcirm(
+            pcirm, noisy, clean, use_pso=True, fitness="full",
+            pso_config={"num_particles": 6, "max_iter": 3},
+            rng=np.random.default_rng(9))
+        assert 0.0 <= middle <= 1.0
+        assert len(np.unique(np.round(np.asarray(mask), 5))) <= 3
