@@ -59,6 +59,14 @@ static int parse_header(FILE* f, uint32_t* sr, uint16_t* channels,
     if (*data_offset < 0 || fmt_tag == 0) return -2;
     *is_float = (fmt_tag == 3);
     if (fmt_tag != 1 && fmt_tag != 3) return -3;  // PCM or IEEE float only
+    // Reject bit depths the decoder has no branch for, so callers get an
+    // error (and the Python loader falls through to soundfile/scipy)
+    // instead of silently decoding to zeros.
+    if (*is_float) {
+        if (*bits != 32) return -4;
+    } else if (*bits != 8 && *bits != 16 && *bits != 24 && *bits != 32) {
+        return -4;
+    }
     return 0;
 }
 
@@ -111,6 +119,9 @@ long wav_read_mono(const char* path, float* buf, long buf_len) {
                     float fv;
                     memcpy(&fv, p, 4);
                     v = fv;
+                } else if (bits == 8) {
+                    // WAV 8-bit PCM is unsigned, biased at 128
+                    v = ((int)p[0] - 128) / 128.0;
                 } else if (bits == 16) {
                     int16_t s = (int16_t)(p[0] | p[1] << 8);
                     v = s / 32768.0;

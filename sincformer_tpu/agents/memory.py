@@ -97,14 +97,18 @@ class EpisodicMemory(nn.Module):
         gate = nn.sigmoid(nn.Dense(1, name="gate")(
             jnp.concatenate([query, retrieved], axis=-1)))
 
+        # Counters span BOTH banks: one_hot must be sized to the combined
+        # slot count, otherwise retrievals that hit episodic slots one-hot
+        # to all zeros and silently vanish from the stats.
+        total_slots = self.num_slots + ep
         usage = self.variable("memory_stats", "usage_count",
-                              lambda: jnp.zeros(self.num_slots))
+                              lambda: jnp.zeros(total_slots))
         n_queries = self.variable("memory_stats", "num_queries",
                                   lambda: jnp.zeros((), jnp.int32))
         top = jnp.argmax(similarity, axis=-1)
         if train:
             usage.value = usage.value + jnp.sum(
-                jax.nn.one_hot(top, self.num_slots), axis=0)
+                jax.nn.one_hot(top, total_slots), axis=0)
             n_queries.value = n_queries.value + top.shape[0]
 
         return {"bias": bias * gate, "gate": gate, "top_indices": top,

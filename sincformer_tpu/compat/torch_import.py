@@ -120,7 +120,41 @@ def import_dcse_state_dict(state_dict: Dict,
     return {"params": params, "batch_stats": batch_stats}
 
 
-def load_reference_checkpoint(path: str) -> Dict:
+def _torch_load_safe(path: str, allow_pickle: bool):
+    """``torch.load`` without arbitrary code execution by default.
+
+    ``weights_only=True`` is tried first, with numpy types allow-listed
+    (reference DNN checkpoints carry ``feat_mean``/``feat_std`` numpy
+    arrays, pipeline.py:765-772). Full unpickling — which executes
+    arbitrary pickle code — requires the caller's explicit
+    ``allow_pickle=True`` opt-in; auto-discovery paths never set it.
+    """
+    import torch
+    safe = [np.ndarray, np.dtype]
+    _ma = getattr(getattr(np, "_core", None) or getattr(np, "core", np),
+                  "multiarray", None)
+    fn = getattr(_ma, "_reconstruct", None)
+    if fn is not None:
+        safe.append(fn)
+    try:
+        from numpy import dtypes as _npdtypes
+        safe.extend(v for v in vars(_npdtypes).values()
+                    if isinstance(v, type))
+    except ImportError:  # numpy < 1.25
+        pass
+    try:
+        with torch.serialization.safe_globals(safe):
+            return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} could not be loaded in safe (weights-only) mode: "
+                f"{e}. If you trust this checkpoint, pass "
+                f"allow_pickle=True to opt in to full unpickling.") from e
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_reference_checkpoint(path: str, allow_pickle: bool = False) -> Dict:
     """Load a reference ``.pt`` checkpoint and convert it.
 
     Dispatches on content: DNN checkpoints carry ``mask_type``/norm stats
@@ -130,8 +164,7 @@ def load_reference_checkpoint(path: str) -> Dict:
     Returns a dict with ``variables`` (+ ``feat_mean``/``feat_std``/
     ``mask_type`` for DNN checkpoints).
     """
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_safe(path, allow_pickle)
     sd = ckpt["model_state"]
     if ckpt.get("model_class") == "SpeechEnhancer" or any(
             k.startswith("blocks.") for k in sd):

@@ -199,20 +199,32 @@ def batch_iterator(ds: WaveformDataset, batch_size: int,
         length = min(len(ds.pairs[i][0]), ds.max_len)
         q = int(np.ceil(length / bucket_quantum) * bucket_quantum)
         buckets.setdefault(q, []).append(i)
+
+    def _emit(idx, q):
+        noisy = np.stack([_pad_to(ds.pairs[i][0], q) for i in idx])
+        clean = np.stack([_pad_to(ds.pairs[i][1], q) for i in idx])
+        lengths = np.array([min(len(ds.pairs[i][0]), q) for i in idx],
+                           np.int32)
+        return {"noisy": noisy, "clean": clean, "lengths": lengths}
+
+    # Full batches ride their own bucket shape; per-bucket remainders are
+    # pooled and re-padded to the LARGEST bucket shape, so the compiled
+    # shape set stays {one per bucket} instead of {one per partial size}.
+    remainder: List[int] = []
+    emitted = False
+    q_max = max(buckets)
     for q in sorted(buckets):
         idxs = buckets[q]
-        for s in range(0, len(idxs), batch_size):
-            idx = idxs[s:s + batch_size]
-            if len(idx) < batch_size:
-                if drop_last and len(buckets) > 1:
-                    # fold the remainder into max-len padding to keep shapes
-                    # few; small datasets keep it
-                    if len(idx) == 0:
-                        continue
-                if len(idx) == 0:
-                    continue
-            noisy = np.stack([_pad_to(ds.pairs[i][0], q) for i in idx])
-            clean = np.stack([_pad_to(ds.pairs[i][1], q) for i in idx])
-            lengths = np.array([min(len(ds.pairs[i][0]), q) for i in idx],
-                               np.int32)
-            yield {"noisy": noisy, "clean": clean, "lengths": lengths}
+        full_end = (len(idxs) // batch_size) * batch_size
+        for s in range(0, full_end, batch_size):
+            yield _emit(idxs[s:s + batch_size], q)
+            emitted = True
+        remainder.extend(idxs[full_end:])
+    for s in range(0, len(remainder), batch_size):
+        idx = remainder[s:s + batch_size]
+        # drop a trailing partial only if something was already emitted —
+        # a small dataset must not silently yield zero batches
+        if len(idx) < batch_size and drop_last and (emitted or s > 0):
+            break
+        yield _emit(idx, q_max)
+        emitted = True

@@ -80,7 +80,9 @@ class DCSEPipeline:
 
     # ── core steps ──────────────────────────────────────────────────────
 
-    def _loss_fn(self, params, noisy, clean, rng, train: bool):
+    def _loss_fn(self, params, model_state, noisy, clean, rng, train: bool):
+        """model_state carries mutable collections (batch_stats when
+        conv_norm='batch'); returns (total, (neg_sisnr, new_model_state))."""
         n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                              self.acfg.frame_size)
         noisy_spec = stft(noisy, n_fft, hop, frame)
@@ -95,8 +97,16 @@ class DCSEPipeline:
             im = im.astype(self.compute_dtype)
             apply_params = jax.tree.map(
                 lambda x: x.astype(self.compute_dtype), params)
-        enh_r, enh_i, _mask = self.model.apply(
-            apply_params, re, im, deterministic=not train, **kwargs)
+        variables = {"params": apply_params, **(model_state or {})}
+        new_model_state = model_state
+        if train and model_state:
+            (enh_r, enh_i, _mask), new_model_state = self.model.apply(
+                variables, re, im, deterministic=False,
+                mutable=list(model_state.keys()), **kwargs)
+            new_model_state = dict(new_model_state)
+        else:
+            enh_r, enh_i, _mask = self.model.apply(
+                variables, re, im, deterministic=not train, **kwargs)
         enh_r = enh_r.astype(jnp.float32)
         enh_i = enh_i.astype(jnp.float32)
         enh_wav = istft(enh_r + 1j * enh_i, n_fft, hop, frame,
@@ -109,7 +119,7 @@ class DCSEPipeline:
         loss_stft = multi_resolution_stft_loss(enh_wav, clean)
         total = (loss_sisnr + self.dcfg.mag_loss_weight * loss_mag
                  + loss_stft)
-        return total, loss_sisnr
+        return total, (loss_sisnr, new_model_state)
 
     def init_state(self, epochs: int, steps_per_epoch: int,
                    example_len: int | None = None) -> TrainState:
@@ -117,13 +127,17 @@ class DCSEPipeline:
                                          * cfg.DEFAULT.data.max_wave_seconds)
         spec = stft(jnp.zeros((1, example_len)), self.acfg.fft_size,
                     self.acfg.hop_size, self.acfg.frame_size)
-        params = self.model.init(jax.random.PRNGKey(self.seed),
-                                 spec.real, spec.imag)
+        variables = self.model.init(jax.random.PRNGKey(self.seed),
+                                    spec.real, spec.imag)
+        variables = dict(variables)
+        params = variables.pop("params")
+        model_state = variables or None  # e.g. {"batch_stats": ...}
         tx = make_adamw(self.dcfg.lr, epochs, steps_per_epoch,
                         self.dcfg.betas, self.dcfg.weight_decay,
                         self.dcfg.grad_clip)
         self.state = TrainState.create(apply_fn=self.model.apply,
                                        params=params, tx=tx,
+                                       model_state=model_state,
                                        nan_count=jnp.zeros((), jnp.int32))
         return self.state
 
@@ -133,12 +147,14 @@ class DCSEPipeline:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, noisy, clean, rng):
-            (loss, neg_sisnr), grads = jax.value_and_grad(
-                lambda p: loss_fn(p, noisy, clean, rng, True),
+            (loss, (neg_sisnr, new_ms)), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, state.model_state, noisy, clean, rng,
+                                  True),
                 has_aux=True)(state.params)
             grads, is_bad = guard_nan_update(grads, loss)
             new_state = state.apply_gradients(grads=grads)
             new_state = new_state.replace(
+                model_state=new_ms,
                 nan_count=state.nan_count + is_bad.astype(jnp.int32))
             return new_state, loss, -neg_sisnr
 
@@ -148,9 +164,10 @@ class DCSEPipeline:
         loss_fn = self._loss_fn
 
         @jax.jit
-        def eval_step(params, noisy, clean):
-            loss, neg_sisnr = loss_fn(params, noisy, clean,
-                                      jax.random.PRNGKey(0), False)
+        def eval_step(params, model_state, noisy, clean):
+            loss, (neg_sisnr, _) = loss_fn(params, model_state, noisy,
+                                           clean, jax.random.PRNGKey(0),
+                                           False)
             return loss, -neg_sisnr
 
         return eval_step
@@ -202,6 +219,7 @@ class DCSEPipeline:
             for batch in batch_iterator(test_ds, batch_size, shuffle=False,
                                         drop_last=False, bucketed=bucketed):
                 loss, sisnr = eval_step(self.state.params,
+                                        self.state.model_state,
                                         jnp.asarray(batch["noisy"]),
                                         jnp.asarray(batch["clean"]))
                 v_losses.append(loss)
@@ -262,14 +280,16 @@ class DCSEPipeline:
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, model_dir: str | None = None,
+                              allow_pickle: bool = False,
                               **model_overrides) -> "DCSEPipeline":
         """Inference-ready pipeline from a reference PyTorch checkpoint
         (conformer_final.pt / best_conformer.pt) via compat/torch_import.
         The model is built with conv_norm='batch' to carry the reference's
-        BatchNorm running stats."""
+        BatchNorm running stats. ``allow_pickle`` opts in to full
+        unpickling for checkpoints that fail weights-only loading."""
         from sincformer_tpu.compat import load_reference_checkpoint
         from sincformer_tpu.models.dcse import default_speech_enhancer
-        loaded = load_reference_checkpoint(path)
+        loaded = load_reference_checkpoint(path, allow_pickle=allow_pickle)
         if loaded["kind"] != "dcse":
             raise ValueError(f"{path} is not a DCSE checkpoint")
         kw = dict(loaded.get("config", {}))
@@ -277,9 +297,10 @@ class DCSEPipeline:
         model = default_speech_enhancer(conv_norm="batch", **kw)
         pipe = cls(model=model, model_dir=model_dir)
         pipe.init_state(epochs=1, steps_per_epoch=1)
-        # variables carry params + batch_stats; model.apply receives the
-        # whole dict through state.params in the enhance path
-        pipe.state = pipe.state.replace(params=loaded["variables"])
+        variables = dict(loaded["variables"])
+        params = variables.pop("params")
+        pipe.state = pipe.state.replace(params=params,
+                                        model_state=variables or None)
         return pipe
 
     # ── inference ───────────────────────────────────────────────────────
@@ -291,15 +312,19 @@ class DCSEPipeline:
             model = self.model
 
             @jax.jit
-            def fn(params, wav):
+            def fn(variables, wav):
                 spec = stft(wav, n_fft, hop, frame)
-                er, ei, _ = model.apply(params, spec.real, spec.imag,
+                er, ei, _ = model.apply(variables, spec.real, spec.imag,
                                         deterministic=True)
                 return istft(er + 1j * ei, n_fft, hop, frame,
                              length=wav.shape[-1])
 
             self._enhance_jit[padded_len] = fn
         return self._enhance_jit[padded_len]
+
+    def _variables(self) -> Dict:
+        return {"params": self.state.params,
+                **(self.state.model_state or {})}
 
     def enhance_signal(self, noisy_signal: np.ndarray,
                        pad_quantum: int = 4000) -> np.ndarray:
@@ -312,13 +337,13 @@ class DCSEPipeline:
         padded = int(np.ceil(n / pad_quantum) * pad_quantum)
         wav = np.zeros((1, padded), np.float32)
         wav[0, :n] = noisy_signal
-        out = self._enhance_fn(padded)(self.state.params, jnp.asarray(wav))
+        out = self._enhance_fn(padded)(self._variables(), jnp.asarray(wav))
         return np.asarray(out[0, :n], np.float32)
 
     def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
         """Batched enhancement (B, N) → (B, N) — the grid-eval fast path."""
         if self.state is None:
             raise RuntimeError("No model loaded.")
-        out = self._enhance_fn(noisy.shape[-1])(self.state.params,
+        out = self._enhance_fn(noisy.shape[-1])(self._variables(),
                                                 jnp.asarray(noisy))
         return np.asarray(out, np.float32)

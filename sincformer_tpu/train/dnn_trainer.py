@@ -46,7 +46,8 @@ from sincformer_tpu.masks import (compute_correlation_coefficients, compute_irm,
 from sincformer_tpu.models.dnn import (SpeechEnhancementDNN, create_dnn,
                                        load_rbm_weights)
 from sincformer_tpu.models.rbm import pretrain_dnn_with_rbm
-from sincformer_tpu.train.state import TrainState, guard_nan_update
+from sincformer_tpu.train.state import (TrainState, guard_nan_update,
+                                        set_injected_lr)
 import optax
 
 
@@ -411,8 +412,8 @@ class DNNPipeline:
                 if plateau >= 5:
                     lr *= 0.5
                     plateau = 0
-                    self.state.opt_state[1].hyperparams[
-                        "learning_rate"] = jnp.asarray(lr)
+                    self.state = self.state.replace(
+                        opt_state=set_injected_lr(self.state.opt_state, lr))
                     if verbose:
                         print(f"    LR reduced to {lr:.2e}")
             entry = {"epoch": epoch, "train_loss": tr_loss,

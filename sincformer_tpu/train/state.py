@@ -71,6 +71,35 @@ def make_adam_plateau(base_lr: float,
     )
 
 
+def set_injected_lr(opt_state, lr) -> Any:
+    """Return a copy of an optax (chained) state with every injected
+    ``learning_rate`` hyperparam replaced — the immutable alternative to
+    poking ``opt_state[i].hyperparams[...]`` in place, which silently
+    breaks if the chain order or optax internals change.
+
+    Works for any nesting of plain tuples around states produced by
+    ``optax.inject_hyperparams`` (identified structurally by their
+    ``hyperparams`` dict containing ``learning_rate``).
+    """
+    def _rec(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp and \
+                hasattr(s, "_replace"):
+            new_hp = dict(hp)
+            old = jnp.asarray(hp["learning_rate"])
+            new_hp["learning_rate"] = jnp.asarray(lr, old.dtype)
+            return s._replace(hyperparams=new_hp)
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(_rec(x) for x in s)
+        return s
+
+    out = _rec(opt_state)
+    if jax.tree_util.tree_structure(out) != \
+            jax.tree_util.tree_structure(opt_state):
+        raise ValueError("set_injected_lr changed the opt_state structure")
+    return out
+
+
 def guard_nan_update(grads, loss):
     """Zero all gradients when the loss is non-finite — the branchless,
     jit-safe form of the reference's NaN-batch skip
