@@ -239,9 +239,17 @@ class CurriculumConfig:
 
 @dataclass(frozen=True)
 class EvalConfig:
-    """Metric settings (reference config.py:116-117)."""
+    """Metric settings (reference config.py:116-117).
+
+    pesq_impl: "auto" = ITU C library when installed, else the native
+    P.862 implementation (evaluation/p862.py); "clib" = C library only
+    (raises if absent); "native" = always the native P.862; "proxy" =
+    the reference's LSD proxy (pesq_eval.py:51-85) — bit-parity mode for
+    comparisons against the reference without the C library.
+    """
     stoi_extended: bool = False
     pesq_mode: str = "nb"
+    pesq_impl: str = "auto"
 
 
 # ─── Root config ─────────────────────────────────────────────────────────────

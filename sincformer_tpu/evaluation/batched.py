@@ -55,12 +55,36 @@ def _batched_metrics_fn(metrics: tuple, fs: int):
 def metrics_batch(clean: np.ndarray, enhanced: np.ndarray,
                   metrics: Sequence[str] = ("stoi", "pesq", "ssnr",
                                             "csii", "ncm"),
-                  fs: int = 8000) -> Dict[str, np.ndarray]:
+                  fs: int = 8000,
+                  pesq_impl: str | None = None) -> Dict[str, np.ndarray]:
     """All metrics for (B, N) pairs in one device call.
+
+    PESQ uses the SAME source as the serial grid path (compute_pesq's
+    impl chain — C lib / native P.862), fanned over host threads, so
+    batched and serial evaluations of the same models agree. Only
+    ``pesq_impl="proxy"`` keeps PESQ inside the device sweep.
 
     Returns {metric: (B,) float array}.
     """
-    fn = _batched_metrics_fn(tuple(metrics), fs)
-    out = fn(jnp.asarray(clean, jnp.float32),
-             jnp.asarray(enhanced, jnp.float32))
-    return {k: np.asarray(v) for k, v in out.items()}
+    from sincformer_tpu import config as cfg
+    pesq_impl = pesq_impl or getattr(cfg.DEFAULT.eval, "pesq_impl", "auto")
+    device_metrics = tuple(m for m in metrics
+                           if m != "pesq" or pesq_impl == "proxy")
+    out: Dict[str, np.ndarray] = {}
+    host_pesq = "pesq" in metrics and pesq_impl != "proxy"
+    if host_pesq:
+        # enqueue host PESQ while the device sweep runs
+        from concurrent.futures import ThreadPoolExecutor
+        from sincformer_tpu.evaluation.pesq import compute_pesq
+        pool = ThreadPoolExecutor(max_workers=8)
+        futs = [pool.submit(compute_pesq, c, e, fs, None, pesq_impl)
+                for c, e in zip(np.asarray(clean), np.asarray(enhanced))]
+    if device_metrics:
+        fn = _batched_metrics_fn(device_metrics, fs)
+        dev = fn(jnp.asarray(clean, jnp.float32),
+                 jnp.asarray(enhanced, jnp.float32))
+        out.update({k: np.asarray(v) for k, v in dev.items()})
+    if host_pesq:
+        out["pesq"] = np.asarray([f.result() for f in futs])
+        pool.shutdown()
+    return out

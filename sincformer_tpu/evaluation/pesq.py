@@ -34,26 +34,48 @@ def pesq_proxy_jax(clean: jnp.ndarray, enhanced: jnp.ndarray,
     return jnp.clip(approx, -0.5, 4.5)
 
 
+def _pesq_lsd_proxy(clean: np.ndarray, enhanced: np.ndarray,
+                    fs: int) -> float:
+    """The reference's fallback (pesq_eval.py:51-85), host entry point."""
+    frame_size = int(0.032 * fs)
+    if min(len(clean), len(enhanced)) < frame_size:
+        return 1.0
+    return float(pesq_proxy_jax(jnp.asarray(clean, jnp.float32),
+                                jnp.asarray(enhanced, jnp.float32), fs))
+
+
 def compute_pesq(clean_signal, enhanced_signal, fs: int | None = None,
-                 mode: str | None = None) -> float:
-    """Reference-compatible PESQ entry point (pesq_eval.py:19-48)."""
+                 mode: str | None = None, impl: str | None = None) -> float:
+    """Reference-compatible PESQ entry point (pesq_eval.py:19-48).
+
+    Implementation chain (``impl`` / ``config.EvalConfig.pesq_impl``):
+    "auto" → ITU C library if installed, else native P.862
+    (evaluation/p862.py); "clib" / "native" / "proxy" force one source.
+    """
     acfg = cfg.DEFAULT.audio
     ecfg = cfg.DEFAULT.eval
     fs = fs or acfg.sample_rate
     mode = mode or ecfg.pesq_mode
+    impl = impl or getattr(ecfg, "pesq_impl", "auto")
     m = min(len(clean_signal), len(enhanced_signal))
     clean = np.asarray(clean_signal[:m], np.float64)
     enhanced = np.asarray(enhanced_signal[:m], np.float64)
-    try:
-        from pesq import pesq as _pesq
-        return float(_pesq(fs, clean, enhanced, mode))
-    except ImportError:
-        pass
-    except Exception as e:  # P.862 C code can fail on very short signals
-        print(f"PESQ computation failed: {e}")
-        return 0.0
-    frame_size = int(0.032 * fs)
-    if m < frame_size:
-        return 1.0
-    return float(pesq_proxy_jax(jnp.asarray(clean, jnp.float32),
-                                jnp.asarray(enhanced, jnp.float32), fs))
+    if impl in ("auto", "clib"):
+        try:
+            from pesq import pesq as _pesq
+            return float(_pesq(fs, clean, enhanced, mode))
+        except ImportError:
+            if impl == "clib":
+                raise
+        except Exception as e:  # P.862 C code can fail on very short input
+            print(f"PESQ computation failed: {e}")
+            return 0.0
+    if impl in ("auto", "native"):
+        try:
+            from sincformer_tpu.evaluation.p862 import pesq_p862
+            return pesq_p862(clean, enhanced, fs)
+        except Exception as e:
+            if impl == "native":
+                raise
+            print(f"native P.862 failed ({e}); falling back to LSD proxy")
+    return _pesq_lsd_proxy(clean, enhanced, fs)

@@ -56,9 +56,12 @@ class TestSSNR:
 
 class TestPESQ:
     def test_parity_fallback(self, ref_modules, rng):
+        """impl='proxy' bit-matches the reference's LSD fallback
+        (pesq_eval.py:51-85); the default impl chain is C-lib → native
+        P.862 (tested in test_p862.py)."""
         ref = ref_modules["evaluation.pesq_eval"]
         clean, enh = _pair(rng)
-        assert abs(compute_pesq(clean, enh)
+        assert abs(compute_pesq(clean, enh, impl="proxy")
                    - ref.compute_pesq(clean, enh)) < 1e-3
 
     def test_range(self, rng):
