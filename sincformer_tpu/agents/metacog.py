@@ -67,6 +67,7 @@ class SincformerMetacog(nn.Module):
     memory_slots: int = 64
     episodic_slots: int = 16      # writable bank (continual adaptation)
     routing: str = "gumbel"
+    attn_impl: str = "xla"   # threaded into every ConformerBlock (MSA)
     enable_resample: bool = True
     sample_rate: int = 8000
     sinc_kernel_size: int = 251
@@ -100,7 +101,8 @@ class SincformerMetacog(nn.Module):
         msa = MaskSynthesisAgent(
             self.encoder_channels, self.cpea_channels, self.d_model,
             self.n_freq, self.msa_blocks, self.num_heads, self.d_ff,
-            self.kernel_size, self.dropout, name="msa")
+            self.kernel_size, self.dropout, attn_impl=self.attn_impl,
+            name="msa")
         mask_r, mask_i = msa(z_real_t, z_imag_t, cpea, sr, si,
                              deterministic=not train)
         mask_mag = jnp.sqrt(mask_r ** 2 + mask_i ** 2 + 1e-12)

@@ -39,6 +39,7 @@ class MaskSynthesisAgent(nn.Module):
     kernel_size: int = 31
     dropout: float = 0.1
     phase_bound_div: float = 8.0   # π/8, reference msa.py:163-168
+    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
 
     @nn.compact
     def __call__(self, z_real, z_imag, cpea_outputs: Dict,
@@ -68,6 +69,7 @@ class MaskSynthesisAgent(nn.Module):
         for i in range(self.num_blocks):
             x = ConformerBlock(self.d_model, self.num_heads, self.d_ff,
                                self.kernel_size, self.dropout,
+                               attn_impl=self.attn_impl,
                                name=f"block_{i}")(x, deterministic)
 
         h = nn.Dense(self.d_model, name="head_hidden")(x)

@@ -177,6 +177,7 @@ class ConformerConfig:
     ff_dim: int = 1024
     kernel_size: int = 31
     dropout: float = 0.1
+    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
 
 
 @dataclass(frozen=True)
@@ -189,6 +190,7 @@ class DCSEConfig:
     kernel_size: int = 31
     dropout: float = 0.15
     phase_bound_div: float = 6.0   # phase ∈ [-π/6, π/6]
+    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
     lr: float = 5e-4
     betas: Tuple[float, float] = (0.9, 0.98)
     weight_decay: float = 0.01

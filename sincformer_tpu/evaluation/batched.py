@@ -66,25 +66,43 @@ def metrics_batch(clean: np.ndarray, enhanced: np.ndarray,
 
     Returns {metric: (B,) float array}.
     """
+    import importlib.util
+
     from sincformer_tpu import config as cfg
     pesq_impl = pesq_impl or getattr(cfg.DEFAULT.eval, "pesq_impl", "auto")
-    device_metrics = tuple(m for m in metrics
-                           if m != "pesq" or pesq_impl == "proxy")
-    out: Dict[str, np.ndarray] = {}
     host_pesq = "pesq" in metrics and pesq_impl != "proxy"
-    if host_pesq:
-        # enqueue host PESQ while the device sweep runs
+    # pystoi, when installed, is what the host entry point dispatches to —
+    # keep batched and serial grids in agreement there too
+    host_stoi = ("stoi" in metrics
+                 and importlib.util.find_spec("pystoi") is not None)
+    device_metrics = tuple(
+        m for m in metrics
+        if not (m == "pesq" and host_pesq) and not (m == "stoi"
+                                                    and host_stoi))
+    out: Dict[str, np.ndarray] = {}
+    futs = {}
+    pool = None
+    if host_pesq or host_stoi:
+        # enqueue host metrics while the device sweep runs
         from concurrent.futures import ThreadPoolExecutor
-        from sincformer_tpu.evaluation.pesq import compute_pesq
         pool = ThreadPoolExecutor(max_workers=8)
-        futs = [pool.submit(compute_pesq, c, e, fs, None, pesq_impl)
-                for c, e in zip(np.asarray(clean), np.asarray(enhanced))]
+        cs, es = np.asarray(clean), np.asarray(enhanced)
+        if host_pesq:
+            from sincformer_tpu.evaluation.pesq import compute_pesq
+            futs["pesq"] = [pool.submit(compute_pesq, c, e, fs, None,
+                                        pesq_impl)
+                            for c, e in zip(cs, es)]
+        if host_stoi:
+            from sincformer_tpu.evaluation.stoi import compute_stoi
+            futs["stoi"] = [pool.submit(compute_stoi, c, e, fs)
+                            for c, e in zip(cs, es)]
     if device_metrics:
         fn = _batched_metrics_fn(device_metrics, fs)
         dev = fn(jnp.asarray(clean, jnp.float32),
                  jnp.asarray(enhanced, jnp.float32))
         out.update({k: np.asarray(v) for k, v in dev.items()})
-    if host_pesq:
-        out["pesq"] = np.asarray([f.result() for f in futs])
+    for k, fl in futs.items():
+        out[k] = np.asarray([f.result() for f in fl])
+    if pool is not None:
         pool.shutdown()
     return out

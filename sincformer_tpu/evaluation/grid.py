@@ -105,13 +105,18 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                   snr_levels: Sequence[float] | None = None,
                   metrics: Sequence[str] = METRICS,
                   verbose: bool = True,
-                  batched: bool | None = None, mesh=None) -> Dict:
+                  batched: bool | None = None, mesh=None,
+                  bucket_quantum: int = 4000) -> Dict:
     """results[noise][method][snr][metric] = [values].
 
-    Fast path (``batched=True``, auto-chosen for uniform-length utterances
-    when every pipeline exposes ``enhance_batch``): each (noise, SNR) cell
-    is ONE batched enhancement call + ONE jitted 5-metric device sweep —
-    the TPU replacement for the reference's serial loop (main.py:316-359).
+    Fast path (``batched=True``, auto-chosen when every pipeline exposes
+    ``enhance_batch``): utterances are grouped into quantised-length
+    buckets; each (noise, SNR, bucket) cell is ONE batched enhancement
+    call (per-bucket jit reuse — variable-length TIMIT no longer falls
+    back to the serial loop), and metrics ride a jitted device sweep
+    whenever the bucket's true lengths are uniform, falling back to the
+    identical host kernels per utterance otherwise — so batched and
+    serial grids agree on every metric value.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the metric sweep's batch axis
     is sharded over the mesh's "data" axis (XLA reduces per-utterance
@@ -120,11 +125,9 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
     """
     snr_levels = list(snr_levels or cfg.DEFAULT.data.snr_levels)
     methods = ["noisy"] + list(pipelines.keys())
-    lengths = {len(c) for c in clean_signals}
     if batched is None:
-        batched = (len(lengths) == 1
-                   and all(hasattr(p, "enhance_batch")
-                           for p in pipelines.values()))
+        batched = all(hasattr(p, "enhance_batch")
+                      for p in pipelines.values()) and len(pipelines) > 0
     failures: Dict[str, int] = {}
 
     def _record_failure(method, noise_name, snr, exc):
@@ -134,44 +137,74 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
         print(f"  ! enhancement FAILED: method={method} noise={noise_name} "
               f"snr={snr}: {type(exc).__name__}: {exc}")
 
+    def _metrics_for(clean_list, sig_list):
+        """Per-utterance metric dict lists; device-batched when lengths are
+        uniform, host kernels (same math) otherwise."""
+        from sincformer_tpu.evaluation.batched import metrics_batch
+        lens = {len(c) for c in clean_list}
+        if len(lens) == 1 and len(clean_list) > 1:
+            cb = np.stack(clean_list)
+            sb = np.stack(sig_list)
+            pad = 0
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(mesh, P("data", None))
+                per = mesh.shape["data"]
+                pad = (-len(cb)) % per
+                if pad:
+                    cb = np.concatenate([cb, cb[:pad]])
+                    sb = np.concatenate([sb, sb[:pad]])
+                cb = jax.device_put(cb, sh)
+                sb = jax.device_put(sb, sh)
+            vals = metrics_batch(cb, sb, metrics)
+            n = len(clean_list)
+            return [{k: float(vals[k][i]) for k in metrics}
+                    for i in range(n)]
+        out = []
+        for c, s in zip(clean_list, sig_list):
+            ml = min(len(c), len(s))
+            out.append({k: float(_METRIC_FNS[k](c[:ml], s[:ml]))
+                        for k in metrics})
+        return out
+
+    # length buckets for the fast path (index lists into clean_signals)
+    buckets: Dict[int, List[int]] = {}
+    for i, c in enumerate(clean_signals):
+        q = int(np.ceil(len(c) / bucket_quantum) * bucket_quantum)
+        buckets.setdefault(q, []).append(i)
+
     results: Dict = {}
     for noise_name, noise in noises.items():
         results[noise_name] = {m: {snr: {k: [] for k in metrics}
                                    for snr in snr_levels} for m in methods}
         if batched:
-            clean_b = np.stack(clean_signals)
-            from sincformer_tpu.evaluation.batched import metrics_batch
             for snr in snr_levels:
-                noisy_b = np.stack([add_noise_at_snr(c, noise, snr)
-                                    for c in clean_signals])
-                outs = {"noisy": noisy_b}
-                for name, pipe in pipelines.items():
-                    try:
-                        outs[name] = pipe.enhance_batch(noisy_b)
-                    except Exception as e:
-                        _record_failure(name, noise_name, snr, e)
-                for method, sig_b in outs.items():
-                    cb, sb = clean_b, np.asarray(sig_b)
-                    if mesh is not None:
-                        import jax
-                        from jax.sharding import (NamedSharding,
-                                                  PartitionSpec as P)
-                        sh = NamedSharding(mesh, P("data", None))
-                        per = mesh.shape["data"]
-                        pad = (-len(cb)) % per
-                        if pad:
-                            cb = np.concatenate([cb, cb[:pad]])
-                            sb = np.concatenate([sb, sb[:pad]])
-                        cb = jax.device_put(cb, sh)
-                        sb = jax.device_put(sb, sh)
-                    vals = metrics_batch(cb, sb, metrics)
-                    if mesh is not None and pad:
-                        vals = {k: v[:len(clean_b)] for k, v in vals.items()}
-                    cell = results[noise_name][method][snr]
-                    for k in metrics:
-                        cell[k].extend(float(v) for v in vals[k])
+                for q, idxs in sorted(buckets.items()):
+                    cleans = [clean_signals[i] for i in idxs]
+                    noisys = [add_noise_at_snr(c, noise, snr)
+                              for c in cleans]
+                    lengths = [len(c) for c in cleans]
+                    noisy_b = np.stack(
+                        [np.pad(x, (0, q - len(x))) for x in noisys])
+                    outs = {"noisy": noisy_b}
+                    for name, pipe in pipelines.items():
+                        try:
+                            outs[name] = np.asarray(
+                                pipe.enhance_batch(noisy_b))
+                        except Exception as e:
+                            _record_failure(name, noise_name, snr, e)
+                    for method, sig_b in outs.items():
+                        trimmed = [sig_b[j][:lengths[j]]
+                                   for j in range(len(idxs))]
+                        per_utt = _metrics_for(cleans, trimmed)
+                        cell = results[noise_name][method][snr]
+                        for vals in per_utt:
+                            for k in metrics:
+                                cell[k].append(vals[k])
             if verbose:
-                print(f"  finished noise: {noise_name} (batched)")
+                print(f"  finished noise: {noise_name} "
+                      f"(batched, {len(buckets)} bucket(s))")
             continue
         for clean in clean_signals:
             for snr in snr_levels:

@@ -126,6 +126,7 @@ class ConformerBlock(nn.Module):
     kernel_size: int
     dropout: float
     conv_norm: str = "layer"
+    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -133,7 +134,9 @@ class ConformerBlock(nn.Module):
         x = FeedForwardModule(self.d_model, self.d_ff, self.dropout)(
             x, deterministic)
         x = MultiHeadSelfAttention(self.d_model, self.num_heads,
-                                   self.dropout)(x, deterministic, mask)
+                                   self.dropout,
+                                   attn_impl=self.attn_impl)(
+            x, deterministic, mask)
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout,
                               self.conv_norm)(x, deterministic)
         x = FeedForwardModule(self.d_model, self.d_ff, self.dropout)(
@@ -154,6 +157,7 @@ class ComplexConformer(nn.Module):
     kernel_size: int = 31
     dropout: float = 0.1
     conv_norm: str = "layer"
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, stft_real, stft_imag, deterministic: bool = True,
@@ -164,7 +168,8 @@ class ComplexConformer(nn.Module):
         for i in range(self.num_blocks):
             x = ConformerBlock(self.d_model, self.num_heads, self.d_ff,
                                self.kernel_size, self.dropout,
-                               self.conv_norm, name=f"block_{i}")(
+                               self.conv_norm, self.attn_impl,
+                               name=f"block_{i}")(
                 x, deterministic, mask)
         x = x + skip
         x = nn.Dense(2 * self.n_freq, name="output_proj")(x)
@@ -184,6 +189,7 @@ def default_complex_conformer(ccfg: cfg.ConformerConfig = cfg.DEFAULT.conformer,
     kw = dict(n_freq=acfg.n_freq, d_model=ccfg.d_model,
               num_blocks=ccfg.num_blocks, num_heads=ccfg.num_heads,
               d_ff=ccfg.ff_dim, kernel_size=ccfg.kernel_size,
-              dropout=ccfg.dropout)
+              dropout=ccfg.dropout,
+              attn_impl=getattr(ccfg, "attn_impl", "xla"))
     kw.update(overrides)
     return ComplexConformer(**kw)

@@ -36,6 +36,7 @@ class SpeechEnhancer(nn.Module):
     dropout: float = 0.15
     phase_bound_div: float = 6.0
     conv_norm: str = "layer"
+    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
     remat: bool = False   # jax.checkpoint each block: trade FLOPs for HBM
 
     @nn.compact
@@ -49,7 +50,8 @@ class SpeechEnhancer(nn.Module):
         for i in range(self.num_blocks):
             x = block_cls(self.d_model, self.num_heads, self.d_ff,
                           self.kernel_size, self.dropout,
-                          self.conv_norm, name=f"block_{i}")(
+                          self.conv_norm, self.attn_impl,
+                          name=f"block_{i}")(
                 x, deterministic, mask)
         x = nn.LayerNorm(name="output_norm")(x)
 
@@ -70,6 +72,7 @@ def default_speech_enhancer(dcfg: cfg.DCSEConfig = cfg.DEFAULT.dcse,
     kw = dict(n_freq=acfg.n_freq, d_model=dcfg.d_model,
               num_blocks=dcfg.num_blocks, num_heads=dcfg.num_heads,
               d_ff=dcfg.ff_dim, kernel_size=dcfg.kernel_size,
-              dropout=dcfg.dropout, phase_bound_div=dcfg.phase_bound_div)
+              dropout=dcfg.dropout, phase_bound_div=dcfg.phase_bound_div,
+              attn_impl=getattr(dcfg, "attn_impl", "xla"))
     kw.update(overrides)
     return SpeechEnhancer(**kw)

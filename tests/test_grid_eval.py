@@ -53,6 +53,25 @@ class TestGridPaths:
                     np.testing.assert_allclose(a, b, atol=2e-3,
                                                err_msg=f"{method}/{snr}/{k}")
 
+    def test_variable_length_batched_equals_serial(self):
+        """Round-1 gap: the fast path required uniform lengths, so real
+        TIMIT degenerated to the serial loop. Bucketed batching must now
+        take the fast path AND reproduce the serial values exactly."""
+        clean = [synthetic_speech(d) for d in (0.6, 0.6, 1.1, 1.7)]
+        noises = {"white": synthetic_noise(16000, seed=0)}
+        pipes = {"ident": _IdentityPipe()}
+        serial = evaluate_grid(clean, noises, pipes, snr_levels=[5],
+                               verbose=False, batched=False)
+        fast = evaluate_grid(clean, noises, pipes, snr_levels=[5],
+                             verbose=False, batched=True)
+        for method in ("noisy", "ident"):
+            for k in ("stoi", "ssnr", "pesq", "csii", "ncm"):
+                a = sorted(serial["white"][method][5][k])
+                b = sorted(fast["white"][method][5][k])
+                assert len(b) == 4
+                np.testing.assert_allclose(a, b, atol=2e-3,
+                                           err_msg=f"{method}/{k}")
+
     def test_tables_print(self, capsys):
         clean = [synthetic_speech(0.5)]
         noises = {"white": synthetic_noise(8000, seed=0)}

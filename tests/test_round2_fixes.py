@@ -182,6 +182,43 @@ class TestBucketedRemainder:
         assert len(batches) == 1 and batches[0]["noisy"].shape[0] == 2
 
 
+class TestAttnImplPlumbing:
+    def test_attn_impl_reaches_kernel_dispatch(self, monkeypatch):
+        """Round-1 gap: ConformerBlock never forwarded attn_impl, so no
+        model config could reach the flash kernel. Verify the flag now
+        flows from SpeechEnhancer down to ops.attention."""
+        import sincformer_tpu.ops.attention as attn_ops
+        from sincformer_tpu.models.dcse import default_speech_enhancer
+
+        seen = []
+        orig = attn_ops.dot_product_attention
+
+        def spy(q, k, v, mask=None, impl="xla"):
+            seen.append(impl)
+            return orig(q, k, v, mask=mask, impl="xla")
+
+        monkeypatch.setattr(attn_ops, "dot_product_attention", spy)
+        model = default_speech_enhancer(num_blocks=2, d_model=32, d_ff=64,
+                                        num_heads=2, kernel_size=7,
+                                        attn_impl="flash")
+        re = jnp.zeros((1, 16, 129))
+        model.init(jax.random.PRNGKey(0), re, re)
+        assert seen == ["flash", "flash"]
+
+    def test_config_carries_attn_impl(self):
+        import dataclasses
+        from sincformer_tpu import config as cfg
+        from sincformer_tpu.models.dcse import default_speech_enhancer
+        dcfg = dataclasses.replace(cfg.DEFAULT.dcse, attn_impl="flash")
+        model = default_speech_enhancer(dcfg)
+        assert model.attn_impl == "flash"
+
+    def test_metacog_carries_attn_impl(self):
+        from sincformer_tpu.train.agent_trainer import default_metacog
+        model = default_metacog(attn_impl="flash")
+        assert model.attn_impl == "flash"
+
+
 class TestGridFailureLogging:
     def test_crashing_pipeline_is_reported(self, capsys):
         from sincformer_tpu.evaluation.grid import evaluate_grid
