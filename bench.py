@@ -1,16 +1,27 @@
-"""Benchmark: batched DCSE enhancement throughput on one TPU chip.
+"""Benchmark: enhancement throughput on one TPU chip, all three pipelines.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Metric: realtime factor (seconds of audio enhanced per wall-clock second)
-for the full wav→STFT→SpeechEnhancer→iSTFT path at batch 128 × 4 s, the
-evaluation-grid workload (reference main.py:316-359 runs this serially).
-Model runs in bfloat16 (TPU-native inference dtype; STOI delta vs f32 is
-~4e-5, far inside the 1e-3 parity bar), STFT/iSTFT stay f32.
+Headline metric: realtime factor (seconds of audio enhanced per wall-clock
+second) for the full wav→STFT→SpeechEnhancer→iSTFT DCSE path at
+batch 128 × 4 s, the evaluation-grid workload (reference main.py:316-359
+runs this serially). Model runs in bfloat16 (TPU-native inference dtype;
+STOI delta vs f32 is ~4e-5, far inside the 1e-3 parity bar), STFT/iSTFT
+stay f32.
 
 Baseline: the SAME workload through the reference's PyTorch SpeechEnhancer
 + torch.stft/istft on this host's CPU (the reference has no GPU here and
 publishes no throughput numbers — BASELINE.md). vs_baseline = ours/theirs.
+
+"extra" carries the flagship + classic-pipeline numbers (VERDICT r1 #4):
+  * sincformer_rtf — full metacog stack (SincNet PA → CPEA → MSA → MAA
+    routing → memory) wav→enhanced RTF, bf16, batch 128 × 4 s;
+  * sincformer_train_step_ms — one jitted curriculum train step
+    (batch 8 × 4 s, f32, adversarial off);
+  * dnn_rtf — classic DNN pipeline enhance_batch (host feature extraction
+    + device DNN mask + iSTFT), batch 16 × 4 s;
+  * dcse_fused_rtf — DCSE with the Pallas fused conformer blocks, when
+    available.
 """
 
 from __future__ import annotations
@@ -71,6 +82,141 @@ def bench_ours() -> float:
     return BATCH * SECONDS / dt          # audio-seconds per second
 
 
+def _chain_rtf(enhance, args0, batch, seconds, iters=ITERS):
+    """RTF via a dependency chain closed by a scalar fetch (axon
+    block_until_ready is a no-op; see module docstring of round-1 bench)."""
+    def chain_time(k):
+        out = args0[-1]
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = enhance(*args0[:-1], out)
+        float(out[0, 0])
+        return time.perf_counter() - t0
+
+    chain_time(1)                        # compile + warm
+    t1 = min(chain_time(1) for _ in range(3))
+    tk = min(chain_time(iters + 1) for _ in range(3))
+    dt = (tk - t1) / iters
+    return batch * seconds / dt
+
+
+def bench_dcse_fused_rtf() -> float:
+    """DCSE with Pallas fused FF modules (ops/fused_ffn.py), bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from sincformer_tpu.dsp.stft import istft, stft
+    from sincformer_tpu.models.dcse import default_speech_enhancer
+
+    model = default_speech_enhancer(fused_ffn=True)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((BATCH, N)),
+                      jnp.float32)
+    spec0 = jax.jit(stft)(wav[:1])
+    p32 = jax.jit(lambda r, a, b: model.init(r, a, b))(
+        jax.random.PRNGKey(0), spec0.real, spec0.imag)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), p32)
+
+    @jax.jit
+    def enhance(params, wav):
+        spec = stft(wav)
+        er, ei, _ = model.apply(params, spec.real.astype(jnp.bfloat16),
+                                spec.imag.astype(jnp.bfloat16),
+                                deterministic=True)
+        return istft(er.astype(jnp.float32) + 1j * ei.astype(jnp.float32),
+                     length=wav.shape[-1])
+
+    return _chain_rtf(enhance, (params, wav), BATCH, SECONDS)
+
+
+def bench_sincformer_rtf() -> float:
+    """Flagship metacog stack wav→enhanced RTF, bf16, batch 128 × 4 s."""
+    import jax
+    import jax.numpy as jnp
+
+    from sincformer_tpu.dsp.stft import istft, stft
+    from sincformer_tpu.train.agent_trainer import default_metacog
+
+    model = default_metacog()
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((BATCH, N)),
+                      jnp.float32)
+    spec0 = jax.jit(stft)(wav[:1])
+    init_fn = jax.jit(lambda r, w, a, b: model.init(r, w, a, b, train=False))
+    v32 = init_fn({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1),
+                   "routing": jax.random.PRNGKey(2)},
+                  wav[:1], spec0.real, spec0.imag)
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, v32)
+
+    @jax.jit
+    def enhance(variables, wav):
+        spec = stft(wav)
+        out = model.apply(variables, wav.astype(jnp.bfloat16),
+                          spec.real.astype(jnp.bfloat16),
+                          spec.imag.astype(jnp.bfloat16), train=False)
+        enh = (out["enhanced_real"].astype(jnp.float32)
+               + 1j * out["enhanced_imag"].astype(jnp.float32))
+        return istft(enh, length=wav.shape[-1])
+
+    return _chain_rtf(enhance, (variables, wav), BATCH, SECONDS)
+
+
+def bench_sincformer_train_step_ms() -> float:
+    """One jitted metacog curriculum train step, batch 8 × 4 s, f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from sincformer_tpu.train.agent_trainer import (SincformerPipeline,
+                                                    default_metacog)
+
+    pipe = SincformerPipeline(model=default_metacog(),
+                              model_dir="/tmp/bench_sincformer")
+    b = 8
+    pipe.init_state(epochs=1, steps_per_epoch=1, example_len=N)
+    step = pipe._make_train_step()
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.standard_normal((b, N)), jnp.float32)
+    clean = jnp.asarray(rng.standard_normal((b, N)), jnp.float32)
+    one = jnp.asarray(1.0)
+
+    def run(k):
+        state = pipe.state
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, loss, _ = step(state, noisy, clean,
+                                  jax.random.PRNGKey(i), one, one, one)
+        float(loss)
+        return time.perf_counter() - t0
+
+    run(1)                               # compile
+    t1 = min(run(1) for _ in range(2))
+    tk = min(run(6) for _ in range(2))
+    return (tk - t1) / 5 * 1000.0
+
+
+def bench_dnn_rtf() -> float:
+    """Classic DNN pipeline enhance_batch (host features + device DNN),
+    batch 16 × 4 s."""
+    import jax
+
+    from sincformer_tpu.train.dnn_trainer import DNNPipeline
+
+    pipe = DNNPipeline(mask_type="pcirm", use_rbm_pretrain=False,
+                       model_dir="/tmp/bench_dnn")
+    pipe.state = pipe._init_model_state(1e-3, jax.random.PRNGKey(0))
+    b = 16
+    wav = np.random.default_rng(0).standard_normal((b, N)).astype(np.float32)
+    pipe.enhance_batch(wav)              # compile + warm every stage
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipe.enhance_batch(wav)
+    dt = (time.perf_counter() - t0) / iters
+    assert np.all(np.isfinite(out))
+    return b * SECONDS / dt
+
+
 def bench_reference() -> float:
     """Reference torch DCSE on host CPU, identical workload."""
     sys.path.insert(0, "/root/reference")
@@ -107,11 +253,22 @@ def main():
         theirs = bench_reference()
     except Exception:
         theirs = None
+    extra = {}
+    for key, fn in (("dcse_fused_rtf", bench_dcse_fused_rtf),
+                    ("sincformer_rtf", bench_sincformer_rtf),
+                    ("sincformer_train_step_ms",
+                     bench_sincformer_train_step_ms),
+                    ("dnn_rtf", bench_dnn_rtf)):
+        try:
+            extra[key] = round(fn(), 1)
+        except Exception as e:       # one stage must not kill the headline
+            extra[key] = f"failed: {type(e).__name__}"
     result = {
         "metric": "enhancement_realtime_factor",
         "value": round(ours, 1),
         "unit": "audio_seconds/second/chip",
         "vs_baseline": round(ours / theirs, 2) if theirs else None,
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -4,10 +4,15 @@ Capability-parity with the reference (``agents/cpea.py:22-115``): a 2-layer
 bidirectional LSTM over the PA latent, four heads (sigmoid correlations,
 tanh·π phases), replacing the oracle Eq. 6-7 quantities at inference.
 
-TPU note: the recurrence is a ``lax.scan`` per direction (flax ``nn.RNN``),
-vectorised over batch and hidden dims; sequence lengths here are ~100 frames
-per second of audio so the scan is short. A bidirectional attention/SSM
-drop-in could replace it later without changing the interface.
+TPU notes:
+  * ``impl="lstm"`` (default, reference parity): ``lax.scan`` per direction
+    (flax ``nn.RNN``) with the scan UNROLLED 8 steps per iteration — same
+    math, ~8× fewer sequential dispatch points.
+  * ``impl="ssm"``: bidirectional LRU state-space mixer (agents/ssm.py) —
+    the recurrence becomes an ``associative_scan`` (O(log T) depth) and all
+    projections are large MXU GEMMs. Idiomatic-TPU substitution for the
+    metacog's biggest compile/step cost (round-1 VERDICT Weak #8); same
+    interface and head structure.
 """
 
 from __future__ import annotations
@@ -26,18 +31,27 @@ class CorrelationPhaseEstimationAgent(nn.Module):
     hidden_size: int = 128
     num_layers: int = 2
     output_channels: int = 64
+    impl: str = "lstm"      # "lstm" (parity) | "ssm" (BiLRU, TPU-fast)
+    unroll: int = 8         # lstm scan unroll factor
 
     @nn.compact
     def __call__(self, z_t: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         if z_t.ndim == 3 and z_t.shape[-1] != self.input_dim:
             z_t = jnp.swapaxes(z_t, 1, 2)                # (B, T, D)
         x = z_t
-        for layer in range(self.num_layers):
-            fwd = nn.RNN(nn.LSTMCell(self.hidden_size),
-                         name=f"lstm_fwd_{layer}")(x)
-            bwd = nn.RNN(nn.LSTMCell(self.hidden_size), reverse=True,
-                         keep_order=True, name=f"lstm_bwd_{layer}")(x)
-            x = jnp.concatenate([fwd, bwd], axis=-1)     # (B, T, 2H)
+        if self.impl == "ssm":
+            from sincformer_tpu.agents.ssm import BiLRU
+            x = BiLRU(self.input_dim, self.hidden_size, self.num_layers,
+                      name="bilru")(x)
+        else:
+            for layer in range(self.num_layers):
+                fwd = nn.RNN(nn.LSTMCell(self.hidden_size),
+                             unroll=self.unroll,
+                             name=f"lstm_fwd_{layer}")(x)
+                bwd = nn.RNN(nn.LSTMCell(self.hidden_size), reverse=True,
+                             keep_order=True, unroll=self.unroll,
+                             name=f"lstm_bwd_{layer}")(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)  # (B, T, 2H)
 
         rho_s = nn.sigmoid(nn.Dense(self.output_channels,
                                     name="rho_s_head")(x))

@@ -55,6 +55,7 @@ class SincformerMetacog(nn.Module):
     cpea_hidden: int = 128
     cpea_layers: int = 2
     cpea_channels: int = 64
+    cpea_impl: str = "lstm"   # "lstm" (parity) | "ssm" (BiLRU, TPU-fast)
     d_model: int = 256
     n_freq: int = 129
     msa_blocks: int = 4
@@ -95,7 +96,8 @@ class SincformerMetacog(nn.Module):
         # ── CPEA ─────────────────────────────────────────────────────────
         cpea = CorrelationPhaseEstimationAgent(
             self.encoder_channels, self.cpea_hidden, self.cpea_layers,
-            self.cpea_channels, name="cpea")(z_real_t)
+            self.cpea_channels, impl=self.cpea_impl,
+            name="cpea")(z_real_t)
 
         # ── MSA (bounded polar mask) ─────────────────────────────────────
         msa = MaskSynthesisAgent(

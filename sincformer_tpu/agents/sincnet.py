@@ -79,8 +79,10 @@ class SincConv1d(nn.Module):
 
         if waveform.ndim == 2:
             waveform = waveform[:, None, :]                        # (B,1,N)
+        # synthesis stays f32 (sin/normalise precision); the conv runs in
+        # the waveform's dtype so bf16 inference works end-to-end
         y = jax.lax.conv_general_dilated(
-            waveform, kernel[:, None, :],
+            waveform, kernel[:, None, :].astype(waveform.dtype),
             window_strides=(self.stride,),
             padding=[(k // 2, k // 2)],
             dimension_numbers=("NCW", "OIW", "NCW"))

@@ -191,6 +191,7 @@ class DCSEConfig:
     dropout: float = 0.15
     phase_bound_div: float = 6.0   # phase ∈ [-π/6, π/6]
     attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
+    fused_ffn: bool = False  # Pallas fused FF modules (ops/fused_ffn.py)
     lr: float = 5e-4
     betas: Tuple[float, float] = (0.9, 0.98)
     weight_decay: float = 0.01

@@ -54,6 +54,67 @@ class FeedForwardModule(nn.Module):
         return residual + 0.5 * x
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm params (scale, bias) — created under the SAME tree
+    path as an ``nn.LayerNorm`` child, so fused and unfused modules share
+    checkpoints."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Bare Dense params (kernel, bias) matching ``nn.Dense`` defaults."""
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.out_features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_features,))
+        return kernel, bias
+
+
+class FusedFeedForward(nn.Module):
+    """FeedForwardModule with the LN→GEMM→Swish→GEMM→½-residual chain
+    executed by ONE Pallas kernel (ops/fused_ffn.py) — one HBM read and one
+    write per row tile instead of one per stage.
+
+    Param tree is IDENTICAL to FeedForwardModule (LayerNorm_0 / Dense_0 /
+    Dense_1), so the two are checkpoint-interchangeable; construct with
+    ``name="FeedForwardModule_N"`` inside ConformerBlock to keep auto-name
+    parity. With dropout active (train mode) it falls back to the unfused
+    math — the fused path is the inference/serving fast path.
+    """
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from sincformer_tpu.ops.fused_ffn import fused_ffn
+        ln_s, ln_b = _LNParams(self.d_model, name="LayerNorm_0")()
+        w1, b1 = _DenseParams(self.d_model, self.d_ff, name="Dense_0")()
+        w2, b2 = _DenseParams(self.d_ff, self.d_model, name="Dense_1")()
+        if deterministic or self.dropout == 0.0:
+            return fused_ffn(x, ln_s, ln_b, w1, b1, w2, b2)
+        # training-with-dropout: unfused math, same params
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        h = (x - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+        h = swish(h @ w1 + b1)
+        h = nn.Dropout(self.dropout, deterministic=False)(h)
+        h = h @ w2 + b2
+        h = nn.Dropout(self.dropout, deterministic=False)(h)
+        return x + 0.5 * h
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Pre-LN MHSA with residual (reference conformer.py:52-71).
 
@@ -127,20 +188,30 @@ class ConformerBlock(nn.Module):
     dropout: float
     conv_norm: str = "layer"
     attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
+    fused_ffn: bool = False  # Pallas fused LN+GEMM+Swish+GEMM (ops/fused_ffn)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
                  mask: Optional[jnp.ndarray] = None):
-        x = FeedForwardModule(self.d_model, self.d_ff, self.dropout)(
-            x, deterministic)
+        if self.fused_ffn:
+            # identical param tree to FeedForwardModule via explicit names
+            ff0 = FusedFeedForward(self.d_model, self.d_ff, self.dropout,
+                                   name="FeedForwardModule_0")
+            ff1 = FusedFeedForward(self.d_model, self.d_ff, self.dropout,
+                                   name="FeedForwardModule_1")
+        else:
+            ff0 = FeedForwardModule(self.d_model, self.d_ff, self.dropout,
+                                    name="FeedForwardModule_0")
+            ff1 = FeedForwardModule(self.d_model, self.d_ff, self.dropout,
+                                    name="FeedForwardModule_1")
+        x = ff0(x, deterministic)
         x = MultiHeadSelfAttention(self.d_model, self.num_heads,
                                    self.dropout,
                                    attn_impl=self.attn_impl)(
             x, deterministic, mask)
         x = ConvolutionModule(self.d_model, self.kernel_size, self.dropout,
                               self.conv_norm)(x, deterministic)
-        x = FeedForwardModule(self.d_model, self.d_ff, self.dropout)(
-            x, deterministic)
+        x = ff1(x, deterministic)
         return nn.LayerNorm()(x)
 
 

@@ -37,6 +37,7 @@ class SpeechEnhancer(nn.Module):
     phase_bound_div: float = 6.0
     conv_norm: str = "layer"
     attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
+    fused_ffn: bool = False  # Pallas fused FF modules (ops/fused_ffn.py)
     remat: bool = False   # jax.checkpoint each block: trade FLOPs for HBM
 
     @nn.compact
@@ -50,7 +51,7 @@ class SpeechEnhancer(nn.Module):
         for i in range(self.num_blocks):
             x = block_cls(self.d_model, self.num_heads, self.d_ff,
                           self.kernel_size, self.dropout,
-                          self.conv_norm, self.attn_impl,
+                          self.conv_norm, self.attn_impl, self.fused_ffn,
                           name=f"block_{i}")(
                 x, deterministic, mask)
         x = nn.LayerNorm(name="output_norm")(x)
@@ -73,6 +74,7 @@ def default_speech_enhancer(dcfg: cfg.DCSEConfig = cfg.DEFAULT.dcse,
               num_blocks=dcfg.num_blocks, num_heads=dcfg.num_heads,
               d_ff=dcfg.ff_dim, kernel_size=dcfg.kernel_size,
               dropout=dcfg.dropout, phase_bound_div=dcfg.phase_bound_div,
-              attn_impl=getattr(dcfg, "attn_impl", "xla"))
+              attn_impl=getattr(dcfg, "attn_impl", "xla"),
+              fused_ffn=getattr(dcfg, "fused_ffn", False))
     kw.update(overrides)
     return SpeechEnhancer(**kw)

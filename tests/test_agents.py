@@ -273,3 +273,79 @@ class TestEpisodicWritePath:
         bank = mut["memory_bank"]["memory"]
         assert float(jnp.sum(jnp.abs(bank["keys"]))) > 0
         assert bool(jnp.all(jnp.isfinite(out["enhanced_real"])))
+
+
+class TestCPEAImpls:
+    def test_ssm_interface_matches_lstm(self, rng):
+        """BiLRU drop-in: same output structure/shapes/ranges as the
+        BiLSTM path (round-1 VERDICT Weak #8 — CPEA bottleneck)."""
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.agents.cpea import CorrelationPhaseEstimationAgent
+        z = jnp.asarray(rng.standard_normal((2, 16, 32)), jnp.float32)
+        outs = {}
+        for impl in ("lstm", "ssm"):
+            mod = CorrelationPhaseEstimationAgent(
+                input_dim=32, hidden_size=8, num_layers=2,
+                output_channels=6, impl=impl)
+            params = mod.init(jax.random.PRNGKey(0), z)
+            outs[impl] = mod.apply(params, z)
+        for key in ("rho_s", "rho_n", "phi1", "phi2"):
+            a, b = outs["lstm"][key], outs["ssm"][key]
+            assert a.shape == b.shape == (2, 16, 6)
+        for impl in outs:
+            assert float(jnp.min(outs[impl]["rho_s"])) >= 0.0
+            assert float(jnp.max(outs[impl]["rho_s"])) <= 1.0
+            assert float(jnp.max(jnp.abs(outs[impl]["phi1"]))) <= np.pi
+
+    def test_ssm_gradients_flow_to_recurrence(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.agents.ssm import BiLRU
+        x = jnp.asarray(rng.standard_normal((2, 24, 16)), jnp.float32)
+        mod = BiLRU(input_dim=16, hidden_size=8, num_layers=1, d_state=8)
+        params = mod.init(jax.random.PRNGKey(0), x)
+
+        def loss(p):
+            return jnp.sum(mod.apply(p, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(jnp.all(jnp.isfinite(l)) for l in leaves)
+        nu_g = g["params"]["lru_fwd_0"]["nu_log"]
+        assert float(jnp.max(jnp.abs(nu_g))) > 0
+
+    def test_lru_captures_long_range(self, rng):
+        """The scan really mixes over time: output at t=T-1 must depend on
+        input at t=0 (fwd) and vice versa (bwd)."""
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.agents.ssm import LRULayer
+        x = jnp.asarray(rng.standard_normal((1, 32, 8)), jnp.float32)
+        mod = LRULayer(d_model=8, d_state=8, reverse=False)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        y0 = mod.apply(params, x)
+        x2 = x.at[0, 0].add(1.0)
+        y1 = mod.apply(params, x2)
+        assert float(jnp.max(jnp.abs(y1[0, -1] - y0[0, -1]))) > 1e-6
+
+    def test_metacog_with_ssm_cpea(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.dsp.stft import stft
+        from sincformer_tpu.train.agent_trainer import default_metacog
+        model = default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64, kernel_size=7,
+            dropout=0.0, memory_slots=4, sinc_kernel_size=65,
+            cpea_impl="ssm")
+        wav = jnp.asarray(rng.standard_normal((1, 4000)), jnp.float32)
+        spec = stft(wav)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1),
+             "routing": jax.random.PRNGKey(2)},
+            wav, spec.real, spec.imag, train=False)
+        out = model.apply(variables, wav, spec.real, spec.imag, train=False)
+        assert out["enhanced_real"].shape == spec.real.shape
+        assert bool(jnp.all(jnp.isfinite(out["enhanced_real"])))

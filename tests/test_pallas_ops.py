@@ -32,3 +32,72 @@ class TestMeddisPallas:
         # pallas backend path on CPU via interpret fallback
         b = meddis_pallas(jnp.asarray(x), interpret=True)
         assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+class TestFusedFFN:
+    def _params(self, rng, d=256, d_ff=1024):
+        def g(*s):
+            return jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+        return (g(8 * 16, d), jnp.ones((d,)), jnp.zeros((d,)),
+                g(d, d_ff), g(d_ff), g(d_ff, d), g(d))
+
+    def test_kernel_matches_reference(self, rng):
+        from sincformer_tpu.ops.fused_ffn import (_ffn_fwd_pallas,
+                                                  _ffn_reference)
+        x, ln_g, ln_b, w1, b1, w2, b2 = self._params(rng)
+        ref = _ffn_reference(x, ln_g, ln_b, w1, b1, w2, b2)
+        out = _ffn_fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, interpret=True)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+    def test_kernel_row_padding(self, rng):
+        """Rows not divisible by the tile are padded then trimmed."""
+        from sincformer_tpu.ops.fused_ffn import (_ffn_fwd_pallas,
+                                                  _ffn_reference)
+        x, ln_g, ln_b, w1, b1, w2, b2 = self._params(rng)
+        x = x[:100]
+        ref = _ffn_reference(x, ln_g, ln_b, w1, b1, w2, b2)
+        out = _ffn_fwd_pallas(x, ln_g, ln_b, w1, b1, w2, b2, interpret=True)
+        assert out.shape == (100, 256)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+    def test_module_parity_and_checkpoint_interchange(self, rng):
+        """FusedFeedForward == FeedForwardModule on the SAME param tree."""
+        from sincformer_tpu.models.conformer import (FeedForwardModule,
+                                                     FusedFeedForward)
+        x = jnp.asarray(rng.standard_normal((2, 24, 64)), jnp.float32)
+        ref_mod = FeedForwardModule(64, 128, dropout=0.0)
+        params = ref_mod.init(jax.random.PRNGKey(0), x)
+        fused_mod = FusedFeedForward(64, 128, dropout=0.0)
+        ref = ref_mod.apply(params, x, deterministic=True)
+        out = fused_mod.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_speech_enhancer_fused_parity(self, rng):
+        """Full DCSE model: fused_ffn=True loads fused_ffn=False params and
+        produces the same enhancement."""
+        from sincformer_tpu.models.dcse import default_speech_enhancer
+        kw = dict(num_blocks=2, d_model=32, d_ff=64, num_heads=2,
+                  kernel_size=7, dropout=0.0)
+        base = default_speech_enhancer(**kw)
+        fused = default_speech_enhancer(fused_ffn=True, **kw)
+        re = jnp.asarray(rng.standard_normal((1, 20, 129)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((1, 20, 129)), jnp.float32)
+        params = base.init(jax.random.PRNGKey(0), re, im)
+        a = base.apply(params, re, im, deterministic=True)
+        b = fused.apply(params, re, im, deterministic=True)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=5e-5)
+
+    def test_gradients_flow(self, rng):
+        from sincformer_tpu.ops.fused_ffn import fused_ffn
+        x, ln_g, ln_b, w1, b1, w2, b2 = self._params(rng, d=64, d_ff=128)
+        x = x[:16]
+
+        def loss(w1_):
+            return jnp.sum(fused_ffn(x, ln_g, ln_b, w1_, b1, w2, b2) ** 2)
+
+        g = jax.grad(loss)(w1)
+        assert g.shape == w1.shape
+        assert float(jnp.max(jnp.abs(g))) > 0
