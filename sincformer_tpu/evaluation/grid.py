@@ -236,6 +236,52 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
     return results
 
 
+def evaluate_grid_distributed(clean_signals: Sequence[np.ndarray],
+                              noises: Dict[str, np.ndarray],
+                              pipelines: Dict[str, object],
+                              snr_levels: Sequence[float] | None = None,
+                              out_dir: str | None = None,
+                              **kwargs) -> Dict:
+    """Multi-host grid evaluation: the (noise × SNR) cells are dealt
+    round-robin to hosts (parallel/distributed.partition_grid_cells), each
+    host evaluates only its sub-grid, and the partial results are merged on
+    every host via a shared ``out_dir`` + global barrier.
+
+    Single-process runs degenerate to :func:`evaluate_grid` exactly.
+    """
+    import jax
+
+    from sincformer_tpu.parallel.distributed import (merge_grid_results,
+                                                     partition_grid_cells)
+    snr_levels = list(snr_levels or cfg.DEFAULT.data.snr_levels)
+    cells = partition_grid_cells(list(noises), snr_levels)
+    per_noise: Dict[str, List[float]] = {}
+    for n, s in cells:
+        per_noise.setdefault(n, []).append(s)
+    part: Dict = {}
+    for n, snrs in per_noise.items():
+        part.update(evaluate_grid(clean_signals, {n: noises[n]}, pipelines,
+                                  snrs, **kwargs))
+    if jax.process_count() == 1:
+        return part
+
+    import pickle
+
+    from jax.experimental import multihost_utils as mhu
+    assert out_dir, "multi-host grid evaluation needs a shared out_dir"
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir,
+                           f"grid_part_{jax.process_index()}.pkl"),
+              "wb") as f:
+        pickle.dump(part, f)
+    mhu.sync_global_devices("sincformer_grid_parts")
+    parts = []
+    for p in range(jax.process_count()):
+        with open(os.path.join(out_dir, f"grid_part_{p}.pkl"), "rb") as f:
+            parts.append(pickle.load(f))
+    return merge_grid_results(parts)
+
+
 def _mean(vals):
     return float(np.mean(vals)) if vals else None
 
