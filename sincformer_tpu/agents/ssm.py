@@ -62,20 +62,34 @@ class LRULayer(nn.Module):
                           (h, self.d_model))
         d_skip = self.param("D", nn.initializers.ones, (self.d_model,))
 
-        lam = jnp.exp(-jnp.exp(nu_log) + 1j * jnp.exp(theta_log))   # (H,)
-        gamma = jnp.sqrt(jnp.maximum(1.0 - jnp.abs(lam) ** 2, 1e-8))
+        # Complex diagonal recurrence in REAL arithmetic (pairs of planes):
+        # TPU/XLA complex support is partial (eager complex exp is
+        # UNIMPLEMENTED on the axon backend), and real pairs map cleanly
+        # onto the VPU.
+        mag = jnp.exp(-jnp.exp(nu_log))                             # |λ|
+        theta = jnp.exp(theta_log)
+        lam_re, lam_im = mag * jnp.cos(theta), mag * jnp.sin(theta)
+        gamma = jnp.sqrt(jnp.maximum(1.0 - mag ** 2, 1e-8))
 
         seq = jnp.flip(x, axis=1) if self.reverse else x
-        bx = (seq @ (b_re + 1j * b_im)) * gamma                     # (B,T,H)
-        lam_seq = jnp.broadcast_to(lam, bx.shape)
+        bx_re = (seq @ b_re) * gamma                                # (B,T,H)
+        bx_im = (seq @ b_im) * gamma
+        shape = bx_re.shape
+        lr = jnp.broadcast_to(lam_re, shape)
+        li = jnp.broadcast_to(lam_im, shape)
 
         def combine(a, b):
-            a_l, a_b = a
-            b_l, b_b = b
-            return a_l * b_l, b_l * a_b + b_b
+            alr, ali, abr, abi = a
+            blr, bli, bbr, bbi = b
+            # λ_combined = λ_b · λ_a ; b_combined = λ_b · b_a + b_b
+            return (blr * alr - bli * ali,
+                    blr * ali + bli * alr,
+                    blr * abr - bli * abi + bbr,
+                    blr * abi + bli * abr + bbi)
 
-        _, hs = jax.lax.associative_scan(combine, (lam_seq, bx), axis=1)
-        y = jnp.real(hs @ (c_re + 1j * c_im))                       # (B,T,D)
+        _, _, hr, hi = jax.lax.associative_scan(
+            combine, (lr, li, bx_re, bx_im), axis=1)
+        y = hr @ c_re - hi @ c_im                                   # Re(h·C)
         if self.reverse:
             y = jnp.flip(y, axis=1)
         return y + x * d_skip

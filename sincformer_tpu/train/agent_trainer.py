@@ -101,11 +101,16 @@ class SincformerPipeline:
         wav = jnp.zeros((1, example_len))
         spec = stft(wav, self.acfg.fft_size, self.acfg.hop_size,
                     self.acfg.frame_size)
-        variables = self.model.init(
+        # jit the init: eager tracing dispatches hundreds of ops one-by-one
+        # (hundreds of seconds through a remote-TPU tunnel, and some eager
+        # ops are UNIMPLEMENTED on the axon backend)
+        init_fn = jax.jit(lambda rngs, w, r, i: self.model.init(
+            rngs, w, r, i, train=True))
+        variables = init_fn(
             {"params": jax.random.PRNGKey(self.seed),
              "dropout": jax.random.PRNGKey(self.seed + 1),
              "routing": jax.random.PRNGKey(self.seed + 2)},
-            wav, spec.real, spec.imag, train=True)
+            wav, spec.real, spec.imag)
         params = variables["params"]
         self.mutable_state = {k: v for k, v in variables.items()
                               if k in ("maa_stats", "memory_stats",

@@ -165,3 +165,62 @@ class TestExportRoundTrip:
                       jnp.zeros((1, 4, 33)))
         with pytest.raises(ValueError, match="conv_norm='batch'"):
             export_dcse_state_dict(v)
+
+
+class TestMetricLevelGridParity:
+    """Round-1 VERDICT #7: the checkpoint-import bridge was only verified
+    at tensor level (1e-4 forward parity). This runs the SAME weights
+    through both frameworks' full enhancement stacks (stft → model → istft)
+    on the same (clean, noise, SNR) cells and asserts the evaluation
+    metrics (STOI / SSNR / PESQ-proxy) agree to < 1e-3 — the acceptance
+    bar from BASELINE.md, now measured instead of implied."""
+
+    def test_same_weights_same_metrics(self, ref_models, tmp_path, rng):
+        _, ref_cp = ref_models
+        from sincformer_tpu.compat.torch_export import (
+            save_reference_checkpoint)
+        from sincformer_tpu.data.audio import add_noise_at_snr
+        from sincformer_tpu.data.synthetic import synthetic_speech
+        from sincformer_tpu.evaluation import (compute_pesq, compute_ssnr,
+                                               compute_stoi)
+        from sincformer_tpu.models.dcse import default_speech_enhancer
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+
+        kw = dict(num_blocks=2, d_model=64, d_ff=128, num_heads=2,
+                  kernel_size=7, dropout=0.0)
+        pipe = DCSEPipeline(model=default_speech_enhancer(
+            conv_norm="batch", **kw), model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=8000)
+
+        pt = str(tmp_path / "conformer_final.pt")
+        save_reference_checkpoint(pipe._variables(), pt)
+        tmodel = ref_cp.SpeechEnhancer(n_freq=129, **kw).eval()
+        tmodel.load_state_dict(
+            torch.load(pt, map_location="cpu",
+                       weights_only=True)["model_state"])
+
+        def enhance_torch(noisy):
+            with torch.no_grad():
+                t = torch.from_numpy(noisy.astype(np.float32)).unsqueeze(0)
+                re, im = ref_cp.batch_stft(t, 256, 80, 160)
+                er, ei, _ = tmodel(re, im)
+                return ref_cp.batch_istft(er, ei, 256, 80, 160,
+                                          len(noisy)).squeeze(0).numpy()
+
+        clean = [synthetic_speech(1.0), synthetic_speech(1.0) * 0.7]
+        noise = rng.standard_normal(16000).astype(np.float32)
+        metrics = {"stoi": compute_stoi, "ssnr": compute_ssnr,
+                   "pesq": lambda c, e: compute_pesq(c, e, impl="proxy")}
+        max_delta = {k: 0.0 for k in metrics}
+        for c in clean:
+            for snr in (0.0, 5.0):
+                noisy = add_noise_at_snr(c, noise, snr)
+                ours = pipe.enhance_signal(noisy, pad_quantum=len(noisy))
+                theirs = enhance_torch(noisy)
+                # waveform-level agreement first (diagnoses any drift)
+                assert np.max(np.abs(ours - theirs)) < 5e-4
+                for k, fn in metrics.items():
+                    d = abs(fn(c, ours) - fn(c, theirs))
+                    max_delta[k] = max(max_delta[k], d)
+        for k, d in max_delta.items():
+            assert d < 1e-3, (k, d)
