@@ -159,7 +159,8 @@ def train(args):
             clean_tr = [load_audio(f, fs) for f in tr_files]
             clean_te = [load_audio(f, fs) for f in te_files]
             noises = load_noise_signals(fs)
-        pipe = SincformerPipeline()
+        pipe = SincformerPipeline(
+            use_adversarial=getattr(args, "adversarial", False))
         pipe.train(clean_tr, clean_te, noises, epochs=args.epochs)
         pipe.save_model()
     else:
@@ -282,6 +283,9 @@ def main(argv=None):
     tp.add_argument("--epochs", type=int, default=None)
     tp.add_argument("--max-train", type=int, default=100)
     tp.add_argument("--max-test", type=int, default=20)
+    tp.add_argument("--adversarial", action="store_true",
+                    help="Enable the 3-scale adversarial loss in curriculum "
+                         "stage 3 (agents pipeline only)")
     tp.add_argument("--no-rbm", action="store_true",
                     help="Skip RBM pre-training (DNN only)")
     tp.add_argument("--synthetic", type=int, default=0, metavar="N",

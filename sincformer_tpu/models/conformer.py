@@ -125,6 +125,7 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.1
     attn_impl: str = "xla"   # "xla" | "flash" (Pallas kernel, ops/attention)
+    pad_to: Optional[int] = None   # time-axis MXU alignment (ops/attention)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -140,7 +141,8 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
-        o = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+        o = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl,
+                                  pad_to=self.pad_to)
         o = o.reshape(b, t, d)
         o = nn.Dense(d, name="out")(o)
         o = nn.Dropout(self.dropout, deterministic=deterministic)(o)

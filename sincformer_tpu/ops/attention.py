@@ -37,17 +37,39 @@ def _flash_available() -> bool:
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
-                          impl: str = "xla") -> jnp.ndarray:
+                          impl: str = "xla",
+                          pad_to: Optional[int] = None) -> jnp.ndarray:
     """Batched MHSA core.
 
     Args:
         q, k, v: (B, T, H, Dh).
         mask: optional (B, T) boolean valid-frame mask.
         impl: "xla" | "flash".
+        pad_to: pad the TIME axis to this multiple INSIDE the op (padded
+            keys are masked out, padded query rows sliced away). Speech
+            frame counts like T=401 misalign with the MXU's 128-wide tiles
+            and run the score/value matmuls at ~⅓ efficiency; padding only
+            the attention op buys the aligned tiling without growing the
+            FF/conv stages (round-1's whole-model padding lost end-to-end,
+            docs/PERF.md "negative results").
 
     Returns:
         (B, T, H, Dh) attention output.
     """
+    t = q.shape[1]
+    if pad_to and t % pad_to:
+        tp = (t + pad_to - 1) // pad_to * pad_to
+        pad = [(0, 0), (0, tp - t), (0, 0), (0, 0)]
+        qp = jnp.pad(q, pad)
+        kp = jnp.pad(k, pad)
+        vp = jnp.pad(v, pad)
+        if mask is None:
+            mask_p = jnp.broadcast_to(
+                jnp.arange(tp) < t, (q.shape[0], tp))
+        else:
+            mask_p = jnp.pad(mask, [(0, 0), (0, tp - t)])
+        out = dot_product_attention(qp, kp, vp, mask=mask_p, impl=impl)
+        return out[:, :t]
     if impl == "flash" and _flash_available():
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
@@ -67,7 +89,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     bias = None
     if mask is not None:
-        b, t = mask.shape
-        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
-        bias = jnp.broadcast_to(bias, (b, 1, t, t)).astype(q.dtype)
+        # key-side bias only, (B, 1, 1, T): padded queries produce garbage
+        # rows that callers slice away, so masking keys alone is enough and
+        # avoids materialising a (B, 1, T, T) tensor
+        bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(q.dtype)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)

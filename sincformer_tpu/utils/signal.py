@@ -81,13 +81,23 @@ def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
         (..., out_len) signal.
     """
     t, length = frames.shape[-2], frames.shape[-1]
-    total = (t - 1) * hop + length if t > 0 else 0
-    pad_to = max(total, out_len)
-    # scatter-add via segment trick: build (T, pad_to) one-hot-free placement
-    out = jnp.zeros(frames.shape[:-2] + (pad_to,), dtype=frames.dtype)
-    idx = (np.arange(t)[:, None] * hop + np.arange(length)[None, :]).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (t * length,))
-    out = out.at[..., idx].add(flat)
+    if t == 0:
+        return jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype)
+    batch = frames.shape[:-2]
+    # Scatter-free formulation: pad the frame length to k·hop, split every
+    # frame into k hop-sized blocks, and overlap-add becomes k SHIFTED
+    # CONTIGUOUS adds of (T·hop)-long planes — static-slice updates XLA
+    # fuses into pad+add, instead of a gather/scatter (which round-2
+    # profiling showed costing ~28 % of DCSE end-to-end inside iSTFT).
+    k = -(-length // hop)
+    frames_p = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                       + [(0, k * hop - length)])
+    parts = frames_p.reshape(batch + (t, k, hop))
+    pad_to = max((t - 1) * hop + length, out_len, (t + k - 1) * hop)
+    out = jnp.zeros(batch + (pad_to,), dtype=frames.dtype)
+    for j in range(k):
+        plane = parts[..., :, j, :].reshape(batch + (t * hop,))
+        out = out.at[..., j * hop:(j + t) * hop].add(plane)
     return out[..., :out_len]
 
 

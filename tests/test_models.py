@@ -171,3 +171,37 @@ class TestVQ:
         _, idx, _ = vq.apply(params, x)
         util = VectorQuantizer.get_utilization(idx, 3)
         np.testing.assert_allclose(float(jnp.sum(util)), 1.0, rtol=1e-5)
+
+
+class TestAttentionPadding:
+    def test_pad_to_is_numerically_transparent(self, rng):
+        """Localized MXU-alignment padding (ops/attention pad_to) must not
+        change attention outputs."""
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.models.conformer import MultiHeadSelfAttention
+        x = jnp.asarray(rng.standard_normal((2, 13, 32)), jnp.float32)
+        base = MultiHeadSelfAttention(32, 2, 0.0, pad_to=None)
+        padded = MultiHeadSelfAttention(32, 2, 0.0, pad_to=8)
+        params = base.init(jax.random.PRNGKey(0), x)
+        a = base.apply(params, x, True)
+        b = padded.apply(params, x, True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_pad_to_respects_existing_mask(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from sincformer_tpu.models.conformer import MultiHeadSelfAttention
+        x = jnp.asarray(rng.standard_normal((2, 13, 32)), jnp.float32)
+        mask = jnp.asarray(np.array([[True] * 9 + [False] * 4,
+                                     [True] * 13]))
+        base = MultiHeadSelfAttention(32, 2, 0.0, pad_to=None)
+        padded = MultiHeadSelfAttention(32, 2, 0.0, pad_to=8)
+        params = base.init(jax.random.PRNGKey(0), x)
+        a = base.apply(params, x, True, mask)
+        b = padded.apply(params, x, True, mask)
+        # compare only valid rows (masked-query rows are garbage by contract)
+        np.testing.assert_allclose(np.asarray(a)[0, :9], np.asarray(b)[0, :9],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a)[1], np.asarray(b)[1],
+                                   atol=1e-5)
