@@ -1,3 +1,6 @@
-"""Custom TPU kernels (Pallas) for ops XLA doesn't schedule well."""
+"""Custom TPU kernels (Pallas) + sharded ops XLA doesn't schedule well."""
 
+from sincformer_tpu.ops.attention import dot_product_attention  # noqa: F401
+from sincformer_tpu.ops.fused_ffn import fused_ffn  # noqa: F401
 from sincformer_tpu.ops.meddis_pallas import meddis_pallas  # noqa: F401
+from sincformer_tpu.ops.ring_attention import ring_attention  # noqa: F401

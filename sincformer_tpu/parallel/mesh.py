@@ -30,6 +30,20 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # single-accelerator host: fall back to the virtual CPU backend
+            # (tests/dryruns set --xla_force_host_platform_device_count)
+            try:
+                cpus = list(jax.devices("cpu"))
+            except RuntimeError:  # pragma: no cover
+                cpus = []
+            if len(cpus) >= n_devices:
+                devices = cpus
+        if len(devices) < n_devices:
+            # NEVER silently shrink: a "mesh of 8" that is secretly one
+            # device makes every sharding test meaningless
+            raise ValueError(
+                f"make_mesh: need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     if shape is None:
         shape = [len(devices)] + [1] * (len(axis_names) - 1)

@@ -1,0 +1,57 @@
+"""Ring (context-parallel) attention vs exact full attention, on the
+virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sincformer_tpu.ops.ring_attention import ring_attention
+from sincformer_tpu.parallel.mesh import make_mesh
+
+
+def _qkv(rng, b=2, t=64, h=2, dh=16):
+    def g():
+        return jnp.asarray(rng.standard_normal((b, t, h, dh)) * 0.5,
+                           jnp.float32)
+    return g(), g(), g()
+
+
+class TestRingAttention:
+    def test_matches_full_attention_8_devices(self, rng):
+        mesh = make_mesh(8, ("data",))
+        q, k, v = _qkv(rng)
+        out = np.asarray(ring_attention(q, k, v, mesh))
+        ref = np.asarray(jax.nn.dot_product_attention(q, k, v))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_output_stays_time_sharded(self, rng):
+        mesh = make_mesh(8, ("data",))
+        q, k, v = _qkv(rng)
+        out = ring_attention(q, k, v, mesh)
+        # sharded over the sequence axis — no device holds full T
+        shard_t = {s.data.shape[1] for s in out.addressable_shards}
+        assert shard_t == {q.shape[1] // 8}
+
+    def test_single_device_mesh_degenerates(self, rng):
+        mesh = make_mesh(1, ("data",))
+        q, k, v = _qkv(rng, t=24)
+        out = np.asarray(ring_attention(q, k, v, mesh))
+        ref = np.asarray(jax.nn.dot_product_attention(q, k, v))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_rejects_indivisible_length(self, rng):
+        mesh = make_mesh(8, ("data",))
+        q, k, v = _qkv(rng, t=60)
+        with pytest.raises(AssertionError):
+            ring_attention(q, k, v, mesh)
+
+    def test_long_sequence_numerics(self, rng):
+        """Online-softmax accumulation across 8 ring hops stays exact for
+        a long (T=512) sequence with large score dynamics."""
+        mesh = make_mesh(8, ("data",))
+        q, k, v = _qkv(rng, b=1, t=512, h=1, dh=8)
+        q = q * 4.0   # widen score range to stress the max-shift
+        out = np.asarray(ring_attention(q, k, v, mesh))
+        ref = np.asarray(jax.nn.dot_product_attention(q, k, v))
+        np.testing.assert_allclose(out, ref, atol=5e-5)
