@@ -440,3 +440,14 @@ class SincformerPipeline:
                                        self.state.model_state,
                                        jnp.asarray(wav))
         return np.asarray(out[0, :n], np.float32)
+
+    def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
+        """Batched enhancement (B, N) → (B, N) — enables the grid
+        evaluator's one-call-per-cell fast path for the flagship."""
+        if self.state is None:
+            raise RuntimeError("No model loaded.")
+        noisy = np.asarray(noisy, np.float32)
+        out = self._enhance_fn(noisy.shape[-1])(self.state.params,
+                                                self.state.model_state,
+                                                jnp.asarray(noisy))
+        return np.asarray(out, np.float32)

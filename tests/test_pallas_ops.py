@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpreter mode on the CPU backend)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -101,3 +102,85 @@ class TestFusedFFN:
         g = jax.grad(loss)(w1)
         assert g.shape == w1.shape
         assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestInt8Quantize:
+    def test_kernel_roundtrip_error_bounded(self, rng):
+        from sincformer_tpu.ops.quantize import (dequantize_int8,
+                                                 quantize_int8)
+        x = jnp.asarray(rng.standard_normal((64, 128)) * 0.1, jnp.float32)
+        vals, scales = quantize_int8(x, seed=1)
+        assert vals.dtype == jnp.int8 and scales.shape == (128,)
+        back = dequantize_int8(vals, scales)
+        # per-column error bounded by one quantization step
+        step = np.asarray(scales)[None, :]
+        assert np.all(np.abs(np.asarray(back - x)) <= step + 1e-7)
+
+    def test_stochastic_rounding_zero_mean(self, rng):
+        """Repeated quantization of the same value must average to it."""
+        from sincformer_tpu.ops.quantize import (dequantize_int8,
+                                                 quantize_int8)
+        x = jnp.full((256, 8), 0.31641, jnp.float32)  # off-grid value
+        x = x.at[0, :].set(1.0)  # pin the scale
+        acc = np.zeros((256, 8))
+        n = 30
+        for s in range(n):
+            vals, scales = quantize_int8(x, seed=s)
+            acc += np.asarray(dequantize_int8(vals, scales))
+        err = np.abs(acc[1:] / n - 0.31641)
+        assert err.mean() < 2e-3   # step is 1/127 ≈ 7.9e-3
+
+    def test_tree_quantization_skips_small_leaves(self, rng):
+        from sincformer_tpu.ops.quantize import dequantize_tree, quantize_tree
+        params = {
+            "dense": {"kernel": jnp.asarray(
+                rng.standard_normal((128, 64)), jnp.float32),
+                "bias": jnp.zeros((64,))},
+        }
+        qt = quantize_tree(params)
+        assert set(qt["dense"]["kernel"]) == {"q", "s"}
+        assert qt["dense"]["bias"].dtype == jnp.float32
+        back = dequantize_tree(qt)
+        err = np.max(np.abs(np.asarray(back["dense"]["kernel"])
+                            - np.asarray(params["dense"]["kernel"])))
+        assert err < np.max(np.abs(np.asarray(params["dense"]["kernel"]))) / 127 + 1e-6
+
+    def test_dcse_int8_weights_preserve_quality(self, rng):
+        """End-to-end: int8-roundtripped DCSE weights enhance within a
+        small delta of the f32 model (weight-storage quantization)."""
+        import jax
+        from sincformer_tpu.models.dcse import default_speech_enhancer
+        from sincformer_tpu.ops.quantize import (dequantize_tree,
+                                                 quantize_tree)
+        model = default_speech_enhancer(num_blocks=2, d_model=64, d_ff=128,
+                                        num_heads=2, kernel_size=7,
+                                        dropout=0.0)
+        re = jnp.asarray(rng.standard_normal((1, 30, 129)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((1, 30, 129)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), re, im)
+        pq = dequantize_tree(quantize_tree(params))
+        a = model.apply(params, re, im, deterministic=True)[0]
+        b = model.apply(pq, re, im, deterministic=True)[0]
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+        assert rel < 0.05, rel
+
+
+    @pytest.mark.slow
+    def test_pallas_kernel_on_tpu(self, rng):
+        """The real Pallas kernel (TPU PRNG + stochastic_round), run on
+        the TPU when one is attached; skipped otherwise."""
+        import jax
+        try:
+            tpu = [d for d in jax.devices() if d.platform == "tpu"][0]
+        except (RuntimeError, IndexError):
+            pytest.skip("no TPU attached")
+        from sincformer_tpu.ops.quantize import dequantize_int8, quantize_int8
+        x = jnp.asarray(rng.standard_normal((64, 128)) * 0.1, jnp.float32)
+        with jax.default_device(tpu):
+            vals, scales = quantize_int8(jax.device_put(x, tpu), seed=3,
+                                         force_kernel=True)
+            vals, scales = np.asarray(vals), np.asarray(scales)
+        assert vals.dtype == np.int8
+        back = vals.astype(np.float32) * scales[None, :]
+        step = scales[None, :]
+        assert np.all(np.abs(back - np.asarray(x)) <= step + 1e-7)
