@@ -177,7 +177,8 @@ class ConformerConfig:
     ff_dim: int = 1024
     kernel_size: int = 31
     dropout: float = 0.1
-    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
+    attn_impl: str = "speech"   # "speech" (Pallas one-shot kernel, the
+    # TPU default: +31% DCSE e2e, docs/PERF.md) | "xla" | "flash"
 
 
 @dataclass(frozen=True)
@@ -190,7 +191,8 @@ class DCSEConfig:
     kernel_size: int = 31
     dropout: float = 0.15
     phase_bound_div: float = 6.0   # phase ∈ [-π/6, π/6]
-    attn_impl: str = "xla"   # "xla" | "flash" (Pallas, ops/attention.py)
+    attn_impl: str = "speech"   # "speech" (Pallas one-shot kernel, the
+    # TPU default: +31% DCSE e2e, docs/PERF.md) | "xla" | "flash"
     fused_ffn: bool = False  # Pallas fused FF modules (ops/fused_ffn.py)
     lr: float = 5e-4
     betas: Tuple[float, float] = (0.9, 0.98)

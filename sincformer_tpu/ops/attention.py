@@ -12,6 +12,11 @@ one implementation:
     where T² activations stop fitting (SURVEY.md §5 long-context note).
     Valid-frame masks are expressed as flash SegmentIds. TPU-only; falls
     back to XLA elsewhere.
+  * ``impl="speech"``: the in-repo one-shot Pallas kernel
+    (ops/speech_attention.py) — whole-row softmax in VMEM, heads packed in
+    the lane dim, ragged-T tail folded into one bias add. Built for the
+    T≲2k speech regime where it beats both of the above; falls back to XLA
+    off-TPU and to flash for long sequences.
 """
 
 from __future__ import annotations
@@ -70,6 +75,15 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             mask_p = jnp.pad(mask, [(0, 0), (0, tp - t)])
         out = dot_product_attention(qp, kp, vp, mask=mask_p, impl=impl)
         return out[:, :t]
+    if impl == "speech":
+        from sincformer_tpu.ops.speech_attention import speech_attention
+        if q.shape[1] > 2048:
+            # score rows stop fitting VMEM comfortably — flash regime
+            return dot_product_attention(q, k, v, mask=mask, impl="flash")
+        bias = None
+        if mask is not None:
+            bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+        return speech_attention(q, k, v, bias)
     if impl == "flash" and _flash_available():
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)

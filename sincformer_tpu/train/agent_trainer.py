@@ -121,6 +121,9 @@ class SincformerPipeline:
             apply_fn=self.model.apply, params=params, tx=tx,
             model_state=self.mutable_state,
             nan_count=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from sincformer_tpu.parallel.sharding import shard_state_params
+            self.state = shard_state_params(self.state, self.mesh)
         if self.use_adversarial:
             from sincformer_tpu.train.adversarial import \
                 MultiScaleDiscriminator

@@ -139,6 +139,9 @@ class DCSEPipeline:
                                        params=params, tx=tx,
                                        model_state=model_state,
                                        nan_count=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from sincformer_tpu.parallel.sharding import shard_state_params
+            self.state = shard_state_params(self.state, self.mesh)
         return self.state
 
     def _make_train_step(self):

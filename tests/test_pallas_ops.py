@@ -184,3 +184,75 @@ class TestInt8Quantize:
         back = vals.astype(np.float32) * scales[None, :]
         step = scales[None, :]
         assert np.all(np.abs(back - np.asarray(x)) <= step + 1e-7)
+
+
+class TestSpeechAttention:
+    """ops/speech_attention.py — one-shot VMEM attention for speech T."""
+
+    def _qkv(self, rng, b=2, t=100, h=4, dh=16):
+        def g(*s):
+            return jnp.asarray(rng.standard_normal(s) * 0.3, jnp.float32)
+        return g(b, t, h, dh), g(b, t, h, dh), g(b, t, h, dh)
+
+    def test_kernel_matches_xla_ragged_t(self, rng):
+        """Ragged T (100 → padded 128 inside) matches XLA attention."""
+        from sincformer_tpu.ops.speech_attention import _speech_attention_fwd
+        q, k, v = self._qkv(rng)
+        b, t, h, dh = q.shape
+        ref = jax.nn.dot_product_attention(q, k, v)
+        out3 = _speech_attention_fwd(
+            q.reshape(b, t, h * dh), k.reshape(b, t, h * dh),
+            v.reshape(b, t, h * dh), jnp.zeros((b, t), jnp.float32),
+            num_heads=h, sm_scale=1.0 / dh ** 0.5, interpret=True)
+        err = float(jnp.max(jnp.abs(out3.reshape(q.shape) - ref)))
+        assert err < 1e-5, err
+
+    def test_kernel_valid_frame_mask(self, rng):
+        """Key-side valid-frame bias matches XLA masked attention on the
+        valid rows (padded query rows are caller-sliced garbage)."""
+        from sincformer_tpu.ops.speech_attention import _speech_attention_fwd
+        q, k, v = self._qkv(rng)
+        b, t, h, dh = q.shape
+        valid = jnp.arange(t) < 70
+        mask = jnp.broadcast_to(valid, (b, t))
+        bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
+        ref = jax.nn.dot_product_attention(
+            q, k, v, bias=bias[:, None, None, :])
+        out3 = _speech_attention_fwd(
+            q.reshape(b, t, h * dh), k.reshape(b, t, h * dh),
+            v.reshape(b, t, h * dh), bias,
+            num_heads=h, sm_scale=1.0 / dh ** 0.5, interpret=True)
+        out = out3.reshape(q.shape)
+        err = float(jnp.max(jnp.abs(out[:, :70] - ref[:, :70])))
+        assert err < 1e-5, err
+
+    def test_dispatch_and_grad(self, rng):
+        """ops/attention impl="speech" on CPU: reference math path + custom
+        VJP agrees with autodiff through XLA attention."""
+        from sincformer_tpu.ops.attention import dot_product_attention
+        q, k, v = self._qkv(rng, t=50)
+        mask = jnp.broadcast_to(jnp.arange(50) < 40, (2, 50))
+
+        def f(impl):
+            def loss(q_):
+                o = dot_product_attention(q_, k, v, mask=mask, impl=impl)
+                return jnp.sum(jnp.where(mask[..., None, None], o, 0.0) ** 2)
+            return loss
+
+        ref_l, ref_g = jax.value_and_grad(f("xla"))(q)
+        spc_l, spc_g = jax.value_and_grad(f("speech"))(q)
+        assert float(jnp.abs(ref_l - spc_l)) < 1e-4
+        assert float(jnp.max(jnp.abs(ref_g - spc_g))) < 1e-4
+
+    def test_conformer_block_speech_impl(self, rng):
+        """ConformerBlock(attn_impl="speech") forward parity with "xla"."""
+        from sincformer_tpu.models.conformer import ConformerBlock
+        x = jnp.asarray(rng.standard_normal((2, 40, 64)), jnp.float32)
+        kw = dict(d_model=64, num_heads=4, d_ff=128, kernel_size=7,
+                  dropout=0.0)
+        a = ConformerBlock(**kw, attn_impl="xla")
+        b = ConformerBlock(**kw, attn_impl="speech")
+        p = a.init(jax.random.PRNGKey(0), x)
+        ya = a.apply(p, x, True)
+        yb = b.apply(p, x, True)
+        assert float(jnp.max(jnp.abs(ya - yb))) < 1e-5
