@@ -159,7 +159,10 @@ def train(args):
             clean_tr = [load_audio(f, fs) for f in tr_files]
             clean_te = [load_audio(f, fs) for f in te_files]
             noises = load_noise_signals(fs)
+        from sincformer_tpu.train.agent_trainer import default_metacog
+        model = default_metacog(cpea_impl=getattr(args, "cpea", "lstm"))
         pipe = SincformerPipeline(
+            model=model,
             use_adversarial=getattr(args, "adversarial", False))
         pipe.train(clean_tr, clean_te, noises, epochs=args.epochs)
         pipe.save_model()
@@ -283,6 +286,9 @@ def main(argv=None):
     tp.add_argument("--epochs", type=int, default=None)
     tp.add_argument("--max-train", type=int, default=100)
     tp.add_argument("--max-test", type=int, default=20)
+    tp.add_argument("--cpea", default="lstm", choices=["lstm", "ssm"],
+                    help="CPEA sequence mixer: 'lstm' (reference parity) or"
+                         " 'ssm' (bidirectional LRU, ~16%% faster steps)")
     tp.add_argument("--adversarial", action="store_true",
                     help="Enable the 3-scale adversarial loss in curriculum "
                          "stage 3 (agents pipeline only)")

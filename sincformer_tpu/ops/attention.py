@@ -17,14 +17,42 @@ one implementation:
     the lane dim, ragged-T tail folded into one bias add. Built for the
     T≲2k speech regime where it beats both of the above; falls back to XLA
     off-TPU and to flash for long sequences.
+  * ``impl="ring"``: context-parallel ring attention
+    (ops/ring_attention.py) — the TIME axis is sharded over a mesh axis
+    and K/V blocks travel the ICI ring. Needs a mesh: activate one around
+    the TRACE of the model with ``ring_mesh(mesh, seq_axis)``; with no
+    active context (or an un-ring-able call: mask present, ragged T) it
+    falls back to the single-chip paths, so ``attn_impl="ring"`` is safe
+    to set unconditionally on a model.
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Active (mesh, seq_axis) for impl="ring" — consulted at TRACE time, so the
+# context manager must wrap the jit/apply call that traces the model. A
+# plain stack (not thread-local): tracing happens on the caller's thread.
+_RING_MESH: list = []
+
+
+@contextlib.contextmanager
+def ring_mesh(mesh, seq_axis: str = "data"):
+    """Run context-parallel attention over ``mesh[seq_axis]`` for every
+    ``impl="ring"`` attention traced inside this context."""
+    _RING_MESH.append((mesh, seq_axis))
+    try:
+        yield
+    finally:
+        _RING_MESH.pop()
+
+
+def active_ring_mesh():
+    return _RING_MESH[-1] if _RING_MESH else None
 
 
 def _flash_available() -> bool:
@@ -75,6 +103,15 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             mask_p = jnp.pad(mask, [(0, 0), (0, tp - t)])
         out = dot_product_attention(qp, kp, vp, mask=mask_p, impl=impl)
         return out[:, :t]
+    if impl == "ring":
+        ctx = active_ring_mesh()
+        if (ctx is not None and mask is None
+                and q.shape[1] % ctx[0].shape[ctx[1]] == 0):
+            from sincformer_tpu.ops.ring_attention import \
+                ring_attention_in_mesh
+            return ring_attention_in_mesh(q, k, v, ctx[0], ctx[1])
+        # no mesh context / masked / ragged T: single-chip fallback
+        return dot_product_attention(q, k, v, mask=mask, impl="speech")
     if impl == "speech":
         from sincformer_tpu.ops.speech_attention import speech_attention
         if q.shape[1] > 2048:

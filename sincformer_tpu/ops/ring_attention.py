@@ -61,6 +61,24 @@ def _ring_body(q, k, v, axis_name: str, n_devices: int, scale: float):
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)       # (B, Tl, H, Dh)
 
 
+def ring_attention_in_mesh(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           mesh: Mesh, seq_axis: str = "data"
+                           ) -> jnp.ndarray:
+    """The shard_map core — safe to call on traced values INSIDE ``jit``
+    (no device placement; GSPMD reshards operands onto the sequence axis).
+    Used by the model layer via ops/attention.py ``impl="ring"``."""
+    n = mesh.shape[seq_axis]
+    assert q.shape[1] % n == 0, (
+        f"T={q.shape[1]} must divide the '{seq_axis}' axis size {n}")
+    scale = 1.0 / float(q.shape[-1]) ** 0.5
+    spec = P(None, seq_axis, None, None)
+    body = functools.partial(_ring_body, axis_name=seq_axis, n_devices=n,
+                             scale=scale)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec)
+    return fn(q, k, v)
+
+
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    mesh: Mesh, seq_axis: str = "data") -> jnp.ndarray:
     """Context-parallel attention over ``mesh[seq_axis]``.
@@ -78,12 +96,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n = mesh.shape[seq_axis]
     assert q.shape[1] % n == 0, (
         f"T={q.shape[1]} must divide the '{seq_axis}' axis size {n}")
-    scale = 1.0 / float(q.shape[-1]) ** 0.5
     spec = P(None, seq_axis, None, None)
     sh = NamedSharding(mesh, spec)
     q, k, v = (jax.device_put(x, sh) for x in (q, k, v))
-    body = functools.partial(_ring_body, axis_name=seq_axis, n_devices=n,
-                             scale=scale)
-    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
-                       out_specs=spec)
-    return fn(q, k, v)
+    return ring_attention_in_mesh(q, k, v, mesh, seq_axis)

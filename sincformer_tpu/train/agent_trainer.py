@@ -53,7 +53,10 @@ def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
               memory_slots=agcfg.memory_slots,
               sample_rate=acfg.sample_rate,
               sinc_kernel_size=agcfg.sinc_kernel_size,
-              hop=acfg.hop_size)
+              hop=acfg.hop_size,
+              # MSA's ConformerBlocks follow the global attention default
+              # (the Pallas speech kernel on TPU, docs/PERF.md)
+              attn_impl=cfg.DEFAULT.conformer.attn_impl)
     kw.update(overrides)
     return SincformerMetacog(**kw)
 

@@ -55,3 +55,31 @@ class TestRingAttention:
         out = np.asarray(ring_attention(q, k, v, mesh))
         ref = np.asarray(jax.nn.dot_product_attention(q, k, v))
         np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+class TestRingInModel:
+    """impl="ring" wired through the model layer behind ring_mesh()."""
+
+    def test_conformer_block_ring_matches_xla(self, rng):
+        from sincformer_tpu.models.conformer import ConformerBlock
+        from sincformer_tpu.ops.attention import ring_mesh
+        mesh = make_mesh(8, ("data",))
+        x = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+        kw = dict(d_model=32, num_heads=2, d_ff=64, kernel_size=7,
+                  dropout=0.0)
+        ref_blk = ConformerBlock(**kw, attn_impl="xla")
+        p = ref_blk.init(jax.random.PRNGKey(0), x)
+        ref = ref_blk.apply(p, x, True)
+        ring_blk = ConformerBlock(**kw, attn_impl="ring")
+        with ring_mesh(mesh, "data"):
+            # context is consulted at trace time: jit traced inside it
+            out = jax.jit(lambda p_, x_: ring_blk.apply(p_, x_, True))(p, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_ring_without_context_falls_back(self, rng):
+        from sincformer_tpu.ops.attention import dot_product_attention
+        q, k, v = _qkv(rng, t=50)     # ragged T too — double fallback
+        a = np.asarray(dot_product_attention(q, k, v, impl="ring"))
+        b = np.asarray(dot_product_attention(q, k, v, impl="xla"))
+        np.testing.assert_allclose(a, b, atol=2e-5)

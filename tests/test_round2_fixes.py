@@ -193,7 +193,7 @@ class TestAttnImplPlumbing:
         seen = []
         orig = attn_ops.dot_product_attention
 
-        def spy(q, k, v, mask=None, impl="xla"):
+        def spy(q, k, v, mask=None, impl="xla", **kw):
             seen.append(impl)
             return orig(q, k, v, mask=mask, impl="xla")
 
