@@ -36,8 +36,8 @@ from sincformer_tpu.train.losses import (PerceptualSTOILoss,
                                          multi_resolution_stft_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
-                                        make_adamw, restore_checkpoint,
-                                        save_checkpoint)
+                                        latest_step_dir, make_adamw,
+                                        restore_checkpoint, save_checkpoint)
 
 
 def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
@@ -59,6 +59,24 @@ def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
               attn_impl=cfg.DEFAULT.conformer.attn_impl)
     kw.update(overrides)
     return SincformerMetacog(**kw)
+
+
+def _checkpoint_cpea_impl(path: str) -> str | None:
+    """Read which CPEA sequence mixer ("lstm" | "ssm") a sincformer
+    checkpoint was trained with, from the orbax param-tree metadata
+    (cheap: no tensor data is loaded)."""
+    try:
+        import orbax.checkpoint as ocp
+        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        tree = getattr(meta, "item_metadata", meta)
+        keys = set(tree["params"]["cpea"].keys())
+    except Exception:
+        return None
+    if "bilru" in keys:
+        return "ssm"
+    if any(k.startswith("bilstm") or "lstm" in k for k in keys):
+        return "lstm"
+    return None
 
 
 class SincformerPipeline:
@@ -400,17 +418,19 @@ class SincformerPipeline:
     def load_model(self, path: str | None = None):
         if path is None:
             for name in ("sincformer_final", "best_sincformer"):
-                base = os.path.join(self.model_dir, name)
-                if os.path.isdir(base):
-                    steps = sorted(d for d in os.listdir(base)
-                                   if d.startswith("step_")
-                                   and not d.endswith(".json"))
-                    if steps:
-                        path = os.path.join(base, steps[-1])
-                        break
+                path = latest_step_dir(os.path.join(self.model_dir, name))
+                if path:
+                    break
         if path is None:
             raise FileNotFoundError("no sincformer checkpoint found")
         if self.state is None:
+            # Match the model skeleton to the checkpoint's CPEA impl so a
+            # cpea_impl="ssm"-trained model restores without the caller
+            # having to know how it was trained.
+            impl = _checkpoint_cpea_impl(path)
+            if impl and impl != self.model.cpea_impl:
+                self.model = default_metacog(self.acfg,
+                                             cpea_impl=impl)
             self.init_state(epochs=1, steps_per_epoch=1)
         self.state = restore_checkpoint(path, self.state)
         return path

@@ -31,8 +31,8 @@ from sincformer_tpu.parallel.mesh import make_mesh, shard_batch
 from sincformer_tpu.train.losses import (multi_resolution_stft_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
-                                        make_adamw, restore_checkpoint,
-                                        save_checkpoint)
+                                        latest_step_dir, make_adamw,
+                                        restore_checkpoint, save_checkpoint)
 
 
 class DCSEPipeline:
@@ -266,14 +266,9 @@ class DCSEPipeline:
         """Restore params (full state) from an Orbax checkpoint dir."""
         if path is None:
             for name in ("conformer_final", "best_conformer"):
-                base = os.path.join(self.model_dir, name)
-                if os.path.isdir(base):
-                    steps = sorted(d for d in os.listdir(base)
-                                   if d.startswith("step_")
-                                   and not d.endswith(".json"))
-                    if steps:
-                        path = os.path.join(base, steps[-1])
-                        break
+                path = latest_step_dir(os.path.join(self.model_dir, name))
+                if path:
+                    break
         if path is None:
             raise FileNotFoundError("no conformer checkpoint found")
         if self.state is None:

@@ -469,18 +469,14 @@ class DNNPipeline:
     def load_model(self, path: str | None = None):
         import json
 
-        from sincformer_tpu.train.state import restore_checkpoint
+        from sincformer_tpu.train.state import (latest_step_dir,
+                                                restore_checkpoint)
         if path is None:
             for name in (f"dnn_{self.mask_type}_final",
                          f"best_{self.mask_type}"):
-                base = os.path.join(self.model_dir, name)
-                if os.path.isdir(base):
-                    steps = sorted(d for d in os.listdir(base)
-                                   if d.startswith("step_")
-                                   and not d.endswith(".json"))
-                    if steps:
-                        path = os.path.join(base, steps[-1])
-                        break
+                path = latest_step_dir(os.path.join(self.model_dir, name))
+                if path:
+                    break
         if path is None:
             raise FileNotFoundError("no DNN checkpoint found")
         meta_path = path + ".meta.json"

@@ -118,6 +118,28 @@ def guard_nan_update(grads, loss):
 
 # ─── Orbax checkpointing ─────────────────────────────────────────────────────
 
+def latest_step_dir(base: str) -> Optional[str]:
+    """Newest ``step_N`` checkpoint under ``base``, by NUMERIC step.
+
+    Lexicographic sorting (the naive ``sorted(...)[-1]``) picks ``step_98``
+    over ``step_336``; this helper fixes that and also skips orbax's
+    in-flight ``*.orbax-checkpoint-tmp`` dirs and ``*.meta.json`` sidecars.
+    """
+    if not os.path.isdir(base):
+        return None
+    best, best_n = None, -1
+    for d in os.listdir(base):
+        if not d.startswith("step_") or d.endswith(".json") \
+                or d.endswith("-tmp"):
+            continue
+        try:
+            n = int(d[len("step_"):])
+        except ValueError:
+            continue
+        if n > best_n:
+            best, best_n = d, n
+    return os.path.join(base, best) if best else None
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                     extra: Optional[dict] = None):
     """Persist full train state (+ host metadata like norm stats)."""

@@ -239,3 +239,48 @@ class TestGridFailureLogging:
         # the noisy baseline still evaluated
         assert len(results["white"]["noisy"][0.0]["ssnr"]) == 1
         assert len(results["white"]["boom"][0.0]["ssnr"]) == 0
+
+
+class TestLatestStepDir:
+    """Numeric step selection: lexicographic sort picked step_98 over
+    step_336 (hit for real by the 50-epoch SSM run's best_sincformer)."""
+
+    def test_numeric_not_lexicographic(self, tmp_path):
+        from sincformer_tpu.train.state import latest_step_dir
+        for n in (7, 98, 105, 336):
+            (tmp_path / f"step_{n}").mkdir()
+        (tmp_path / "step_400.orbax-checkpoint-tmp").mkdir()  # in-flight
+        (tmp_path / "step_336.meta.json").write_text("{}")
+        got = latest_step_dir(str(tmp_path))
+        assert got is not None and got.endswith("step_336")
+
+    def test_missing_dir_is_none(self, tmp_path):
+        from sincformer_tpu.train.state import latest_step_dir
+        assert latest_step_dir(str(tmp_path / "nope")) is None
+
+
+class TestCpeaImplAutodetect:
+    """load_model must restore cpea_impl='ssm' checkpoints into a matching
+    model skeleton (discovered live: the grid eval restored BiLRU params
+    into a BiLSTM template and failed)."""
+
+    def _fake_ckpt(self, tmp_path, cpea_keys):
+        import orbax.checkpoint as ocp
+        path = str(tmp_path / "step_1")
+        tree = {"params": {"cpea": {k: {"w": jnp.ones((2,))}
+                                    for k in cpea_keys}}}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), tree, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def test_detects_ssm_and_lstm(self, tmp_path):
+        from sincformer_tpu.train.agent_trainer import _checkpoint_cpea_impl
+        p1 = self._fake_ckpt(tmp_path / "a", ["bilru", "rho_s_head"])
+        assert _checkpoint_cpea_impl(p1) == "ssm"
+        p2 = self._fake_ckpt(tmp_path / "b", ["lstm_fwd_0", "rho_s_head"])
+        assert _checkpoint_cpea_impl(p2) == "lstm"
+
+    def test_garbage_path_is_none(self, tmp_path):
+        from sincformer_tpu.train.agent_trainer import _checkpoint_cpea_impl
+        assert _checkpoint_cpea_impl(str(tmp_path / "nothing")) is None
