@@ -28,6 +28,15 @@ try:
 except Exception:  # pragma: no cover - CPU backend always present
     pass
 
+# Persistent XLA compilation cache: the suite is compile-dominated (big
+# jitted training steps on the 8-device virtual mesh), so repeat runs drop
+# from tens of minutes to minutes. Keyed by HLO + config, so stale entries
+# are impossible; safe to delete .jax_cache/ at any time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
