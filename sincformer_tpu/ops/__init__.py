@@ -2,6 +2,7 @@
 
 from sincformer_tpu.ops.attention import (dot_product_attention,  # noqa: F401
                                           ring_mesh)
+from sincformer_tpu.ops.conv_gn_pallas import conv1d_gn  # noqa: F401
 from sincformer_tpu.ops.fused_ffn import fused_ffn  # noqa: F401
 from sincformer_tpu.ops.meddis_pallas import meddis_pallas  # noqa: F401
 from sincformer_tpu.ops.quantize import (dequantize_int8,  # noqa: F401

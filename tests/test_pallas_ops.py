@@ -256,3 +256,92 @@ class TestSpeechAttention:
         ya = a.apply(p, x, True)
         yb = b.apply(p, x, True)
         assert float(jnp.max(jnp.abs(ya - yb))) < 1e-5
+
+
+class TestConvGN:
+    """Fused Conv1d→GroupNorm[→+skip][→GELU] kernel (ops/conv_gn_pallas).
+
+    A measured NEGATIVE result at PA shapes (docs/PERF.md) — kept as a
+    parity-tested building block; these tests pin its correctness in
+    interpret mode (f32-exact on CPU) across every geometry it supports.
+    """
+
+    def _inputs(self, rng, t, cin, cout, k, s, with_skip):
+        x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(cout) * 0.1, jnp.float32)
+        ga = jnp.asarray(1 + 0.1 * rng.standard_normal(cout), jnp.float32)
+        be = jnp.asarray(0.1 * rng.standard_normal(cout), jnp.float32)
+        skip = None
+        if with_skip:
+            tout = -(-t // s)
+            skip = jnp.asarray(rng.standard_normal((2, tout, cout)),
+                               jnp.float32)
+        return x, w, b, ga, be, skip
+
+    @pytest.mark.parametrize("t,cin,cout,k,s,act,with_skip", [
+        (1000, 64, 128, 7, 2, True, False),    # PA block conv1
+        (500, 128, 128, 3, 1, False, True),    # PA block conv2 (+skip)
+        (1000, 64, 128, 1, 2, False, False),   # PA block skip conv
+        (512, 256, 256, 5, 2, True, False),    # PA downsample
+        (513, 128, 256, 7, 2, True, False),    # odd T
+    ])
+    def test_parity_vs_flax_composition(self, rng, t, cin, cout, k, s,
+                                        act, with_skip):
+        from sincformer_tpu.ops.conv_gn_pallas import (_conv1d_gn_pallas,
+                                                       conv_gn_reference)
+        x, w, b, ga, be, skip = self._inputs(rng, t, cin, cout, k, s,
+                                             with_skip)
+        ref = conv_gn_reference(x, w, b, ga, be, skip, stride=s,
+                                groups=16, act=act)
+        out = _conv1d_gn_pallas(x, w, b, ga, be, skip, stride=s,
+                                groups=16, eps=1e-6, act=act,
+                                interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_matches_flax_modules(self, rng):
+        """conv1d_gn ≡ nn.Conv(SAME) → nn.GroupNorm → nn.gelu with the
+        same params (the exact composition in agents/perception.py)."""
+        import flax.linen as nn
+        from sincformer_tpu.ops.conv_gn_pallas import conv_gn_reference
+        x = jnp.asarray(rng.standard_normal((2, 400, 64)), jnp.float32)
+
+        class Blk(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = nn.Conv(128, (7,), strides=(2,), padding="SAME",
+                            name="conv")(x)
+                y = nn.GroupNorm(num_groups=16, name="gn")(y)
+                return nn.gelu(y)
+
+        m = Blk()
+        v = m.init(jax.random.PRNGKey(0), x)
+        ref = m.apply(v, x)
+        p = v["params"]
+        out = conv_gn_reference(
+            x, p["conv"]["kernel"], p["conv"]["bias"], p["gn"]["scale"],
+            p["gn"]["bias"], None, stride=2, groups=16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_grad_path(self, rng):
+        """Custom VJP (reference backward) matches autodiff of the
+        unfused composition."""
+        from sincformer_tpu.ops.conv_gn_pallas import (conv1d_gn,
+                                                       conv_gn_reference)
+        x, w, b, ga, be, _ = self._inputs(rng, 200, 64, 128, 7, 2, False)
+
+        def loss_fused(w_):
+            return jnp.sum(conv1d_gn(x, w_, b, ga, be, None, 2, 16) ** 2)
+
+        def loss_ref(w_):
+            return jnp.sum(conv_gn_reference(x, w_, b, ga, be, None,
+                                             stride=2, groups=16) ** 2)
+
+        g1 = jax.grad(loss_fused)(w)
+        g2 = jax.grad(loss_ref)(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
