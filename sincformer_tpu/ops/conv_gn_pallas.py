@@ -209,7 +209,7 @@ def _conv1d_gn_pallas(x, w, b, gamma, beta, skip, *, stride: int,
         out_shape=jax.ShapeDtypeStruct((bsz, tp, cout), x.dtype),
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # x2 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # x2 (HBM)
             pl.BlockSpec((nsh * s * cin, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0),
@@ -218,7 +218,7 @@ def _conv1d_gn_pallas(x, w, b, gamma, beta, skip, *, stride: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),            # skip (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),            # skip (HBM)
         ],
         out_specs=pl.BlockSpec((1, tp, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
