@@ -60,3 +60,55 @@ class TestStreaming:
         ratio = (np.sum(chunked ** 2) + 1e-9) / (np.sum(whole ** 2) + 1e-9)
         assert 0.5 < ratio < 2.0
         assert np.all(np.isfinite(chunked))
+
+
+class _BatchScalePipe(_ScalePipe):
+    """Adds the batched fast path; records batch shapes."""
+
+    def __init__(self):
+        super().__init__()
+        self.batch_calls = []
+
+    def enhance_batch(self, x):
+        x = np.asarray(x)
+        self.batch_calls.append(x.shape)
+        return x * 0.5
+
+
+class TestBatchedServing:
+    def test_long_input_uses_batched_windows(self, rng):
+        pipe = _BatchScalePipe()
+        x = rng.standard_normal(100000).astype(np.float32)
+        out = StreamingEnhancer(pipe, window=32000, overlap=1600,
+                                chunk_batch=2).enhance(x)
+        np.testing.assert_allclose(out, x * 0.5, atol=1e-5)
+        assert pipe.calls == []                   # no serial dispatches
+        # 4 windows grouped ≤2 per device call, constant window shape
+        assert all(s[1] == 32000 for s in pipe.batch_calls)
+        assert sum(s[0] for s in pipe.batch_calls) == 4
+        assert max(s[0] for s in pipe.batch_calls) <= 2
+
+    def test_enhance_many_buckets_and_preserves_order(self, rng):
+        pipe = _BatchScalePipe()
+        se = StreamingEnhancer(pipe, window=32000, chunk_batch=8)
+        sigs = [rng.standard_normal(n).astype(np.float32)
+                for n in (3000, 4000, 3500, 7900, 40000)]
+        outs = se.enhance_many(sigs, pad_quantum=4000)
+        assert len(outs) == len(sigs)
+        for s, o in zip(sigs, outs):
+            assert o.shape == s.shape
+            np.testing.assert_allclose(o, s * 0.5, atol=1e-5)
+        # short utterances batched into the 4000- and 8000-quantum buckets
+        quanta = sorted(s[1] for s in pipe.batch_calls
+                        if s[1] in (4000, 8000))
+        assert quanta == [4000, 8000]
+
+    def test_enhance_many_serial_fallback(self, rng):
+        pipe = _ScalePipe()                       # no enhance_batch
+        se = StreamingEnhancer(pipe, window=32000)
+        sigs = [rng.standard_normal(3000).astype(np.float32)
+                for _ in range(3)]
+        outs = se.enhance_many(sigs)
+        for s, o in zip(sigs, outs):
+            np.testing.assert_allclose(o, s * 0.5)
+        assert len(pipe.calls) == 3
