@@ -225,15 +225,34 @@ def enhance(args):
         return
     print(f"  Using model: {name}")
 
-    noisy = load_audio(args.input, fs)
-    print(f"  Input: {args.input} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
+    inputs = (args.input if isinstance(args.input, (list, tuple))
+              else [args.input])
+    se = StreamingEnhancer(pipe)
+    if len(inputs) == 1:
+        noisy = load_audio(inputs[0], fs)
+        print(f"  Input: {inputs[0]} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
+        t0 = time.time()
+        enhanced = StreamingEnhancer(pipe).enhance(noisy)
+        dt = time.time() - t0
+        wavfile.write(args.output, fs,
+                      np.clip(enhanced, -1.0, 1.0).astype(np.float32))
+        print(f"  Enhanced → {args.output}  ({dt:.2f}s wall, "
+              f"{len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
+        return
+
+    # multi-file: same-length groups share one batched device call
+    os.makedirs(args.output, exist_ok=True)
+    signals = [load_audio(p, fs) for p in inputs]
+    total_s = sum(len(s) for s in signals) / fs
+    print(f"  Inputs: {len(inputs)} files, {total_s:.2f}s total")
     t0 = time.time()
-    enhanced = StreamingEnhancer(pipe).enhance(noisy)
+    outs = se.enhance_many(signals)
     dt = time.time() - t0
-    wavfile.write(args.output, fs,
-                  np.clip(enhanced, -1.0, 1.0).astype(np.float32))
-    print(f"  Enhanced → {args.output}  "
-          f"({dt:.2f}s wall, {len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
+    for path, out in zip(inputs, outs):
+        dest = os.path.join(args.output, os.path.basename(path))
+        wavfile.write(dest, fs, np.clip(out, -1.0, 1.0).astype(np.float32))
+    print(f"  Enhanced {len(inputs)} files → {args.output}/  "
+          f"({dt:.2f}s wall, {total_s / max(dt, 1e-9):.1f}x realtime)")
 
 
 def info(args):
@@ -301,9 +320,11 @@ def main(argv=None):
     ep = sub.add_parser("evaluate", help="Full 5-metric grid evaluation")
     ep.add_argument("--max-eval", type=int, default=50)
 
-    enp = sub.add_parser("enhance", help="Enhance a WAV file")
-    enp.add_argument("input", help="Input WAV path")
-    enp.add_argument("output", help="Output WAV path")
+    enp = sub.add_parser("enhance", help="Enhance WAV file(s)")
+    enp.add_argument("input", nargs="+", help="Input WAV path(s)")
+    enp.add_argument("output", help="Output WAV path (single input) or "
+                                    "output directory (multiple inputs, "
+                                    "batched on device)")
     enp.add_argument("--model", default=None,
                      choices=["sincformer", "conformer", "pcirm",
                               "opt_pcirm", "irm"],

@@ -53,3 +53,43 @@ class TestCLI:
         assert "OPT-PCIRM" in out
         assert "NCM" in out            # 5-metric table (reference prints 3)
         assert "Demo complete!" in out
+
+    def test_enhance_multi_file_batched(self, capsys, tmp_path,
+                                        monkeypatch, rng):
+        """`enhance in1 in2 ... outdir` routes through enhance_many with
+        same-quantum inputs batched in ONE device call."""
+        from scipy.io import wavfile
+
+        import sincformer_tpu.evaluation.grid as grid_mod
+
+        class HalfPipe:
+            def __init__(self):
+                self.batch_shapes = []
+
+            def enhance_signal(self, x):
+                return np.asarray(x) * 0.5
+
+            def enhance_batch(self, x):
+                x = np.asarray(x)
+                self.batch_shapes.append(x.shape)
+                return x * 0.5
+
+        pipe = HalfPipe()
+        monkeypatch.setattr(grid_mod, "discover_pipelines",
+                            lambda *a, **k: {"sincformer": pipe})
+        paths = []
+        for i, n in enumerate((3000, 3500)):     # same 4000-pad quantum
+            x = (0.2 * rng.standard_normal(n)).astype(np.float32)
+            p = str(tmp_path / f"in{i}.wav")
+            wavfile.write(p, 8000, x)
+            paths.append(p)
+        outdir = str(tmp_path / "out")
+        cli.main(["enhance", *paths, outdir])
+        out = capsys.readouterr().out
+        assert "Enhanced 2 files" in out
+        # one batched call covering both utterances
+        assert pipe.batch_shapes == [(2, 4000)]
+        for i, p in enumerate(paths):
+            fs, y = wavfile.read(str(tmp_path / "out" / f"in{i}.wav"))
+            fs2, x = wavfile.read(p)
+            np.testing.assert_allclose(y, x * 0.5, atol=1e-4)
