@@ -52,6 +52,21 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _pick_tq(t_pad: int) -> int:
+    """Largest query-block size that exactly divides ``t_pad``.
+
+    ``t_pad`` is always a multiple of ``_LANE`` (128), so 128 always
+    divides and the grid ``t_pad // tq`` covers EVERY query row — the
+    round-2 ``min(_MAX_TQ, t_pad)`` choice silently dropped tail blocks
+    for t_pad in (512, 2048] off the 512 grid (e.g. T=600 → t_pad=640
+    ran one 512-row block and left rows 512..639 uninitialised).
+    """
+    for tq in (_MAX_TQ, 384, 256, _LANE):
+        if t_pad % tq == 0:
+            return tq
+    return _LANE
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
                  num_heads: int, sm_scale: float):
     """One (batch, query-block) program: full-softmax attention, all heads.
@@ -99,7 +114,7 @@ def _speech_attention_fwd(q3, k3, v3, bias, *, num_heads: int,
         v3 = jnp.pad(v3, pad)
         bias = jnp.pad(bias, [(0, 0), (0, t_pad - t)],
                        constant_values=_NEG)
-    tq = min(_MAX_TQ, t_pad)
+    tq = _pick_tq(t_pad)
     grid = (b, t_pad // tq)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, num_heads=num_heads,

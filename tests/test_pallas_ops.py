@@ -207,6 +207,27 @@ class TestSpeechAttention:
         err = float(jnp.max(jnp.abs(out3.reshape(q.shape) - ref)))
         assert err < 1e-5, err
 
+    @pytest.mark.parametrize("t", [600, 700, 1025])
+    def test_kernel_off_grid_lengths(self, rng, t):
+        """T whose lane-padded length is NOT a multiple of 512 (the round-2
+        grid bug: tail query blocks were never executed → garbage rows).
+        _pick_tq must choose a divisor so every row is computed."""
+        from sincformer_tpu.ops.speech_attention import (
+            _pick_tq, _round_up, _speech_attention_fwd)
+        t_pad = _round_up(max(t, 128), 128)
+        assert t_pad % _pick_tq(t_pad) == 0
+        q, k, v = self._qkv(rng, b=1, t=t, h=2, dh=32)
+        b, _, h, dh = q.shape
+        ref = jax.nn.dot_product_attention(q, k, v)
+        out3 = _speech_attention_fwd(
+            q.reshape(b, t, h * dh), k.reshape(b, t, h * dh),
+            v.reshape(b, t, h * dh), jnp.zeros((b, t), jnp.float32),
+            num_heads=h, sm_scale=1.0 / dh ** 0.5, interpret=True)
+        out = out3.reshape(q.shape)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < 1e-5, err
+
     def test_kernel_valid_frame_mask(self, rng):
         """Key-side valid-frame bias matches XLA masked attention on the
         valid rows (padded query rows are caller-sliced garbage)."""
