@@ -188,12 +188,26 @@ def train(args):
 
 def evaluate(args):
     """Full grid evaluation (reference main.py:215-442), extended with CSII
-    and NCM, with the enhancement calls batched on device."""
+    and NCM, with the enhancement calls batched on device.
+
+    Scale-out:
+      --mesh         shard the metric sweep over all local devices;
+      --distributed  multi-host: (noise × SNR) cells are dealt round-robin
+                     to processes. Launch one process per host with
+                     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+                     JAX_PROCESS_ID set (parallel.distributed
+                     .init_distributed), e.g.
+                       JAX_COORDINATOR_ADDRESS=host0:1234 \\
+                       JAX_NUM_PROCESSES=2 JAX_PROCESS_ID=0 \\
+                       python -m sincformer_tpu.cli evaluate --distributed
+    """
     from sincformer_tpu import config as cfg
     from sincformer_tpu.evaluation.grid import run_grid_evaluation
 
     run_grid_evaluation(max_eval=getattr(args, "max_eval", 50),
-                        model_dir=cfg.DEFAULT.data.model_dir)
+                        model_dir=cfg.DEFAULT.data.model_dir,
+                        distributed=getattr(args, "distributed", False),
+                        use_mesh=getattr(args, "mesh", False))
 
 
 def enhance(args):
@@ -232,7 +246,7 @@ def enhance(args):
         noisy = load_audio(inputs[0], fs)
         print(f"  Input: {inputs[0]} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
         t0 = time.time()
-        enhanced = StreamingEnhancer(pipe).enhance(noisy)
+        enhanced = se.enhance(noisy)
         dt = time.time() - t0
         wavfile.write(args.output, fs,
                       np.clip(enhanced, -1.0, 1.0).astype(np.float32))
@@ -248,8 +262,20 @@ def enhance(args):
     t0 = time.time()
     outs = se.enhance_many(signals)
     dt = time.time() - t0
-    for path, out in zip(inputs, outs):
-        dest = os.path.join(args.output, os.path.basename(path))
+    # de-duplicate output names: two inputs with the same basename in
+    # different directories must not silently overwrite each other
+    names, seen = [], {}
+    for path in inputs:
+        base = os.path.basename(path)
+        if base in seen:
+            seen[base] += 1
+            stem, ext = os.path.splitext(base)
+            base = f"{stem}_{seen[base]}{ext}"
+        else:
+            seen[base] = 0
+        names.append(base)
+    for base, out in zip(names, outs):
+        dest = os.path.join(args.output, base)
         wavfile.write(dest, fs, np.clip(out, -1.0, 1.0).astype(np.float32))
     print(f"  Enhanced {len(inputs)} files → {args.output}/  "
           f"({dt:.2f}s wall, {total_s / max(dt, 1e-9):.1f}x realtime)")
@@ -319,6 +345,11 @@ def main(argv=None):
 
     ep = sub.add_parser("evaluate", help="Full 5-metric grid evaluation")
     ep.add_argument("--max-eval", type=int, default=50)
+    ep.add_argument("--mesh", action="store_true",
+                    help="shard the metric sweep over all local devices")
+    ep.add_argument("--distributed", action="store_true",
+                    help="multi-host grid partition (JAX_COORDINATOR / "
+                         "JAX_NUM_PROCESSES / JAX_PROCESS_ID env)")
 
     enp = sub.add_parser("enhance", help="Enhance WAV file(s)")
     enp.add_argument("input", nargs="+", help="Input WAV path(s)")

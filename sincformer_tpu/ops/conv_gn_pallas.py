@@ -182,11 +182,24 @@ def _conv1d_gn_pallas(x, w, b, gamma, beta, skip, *, stride: int,
     s = stride
     t_out, pl_, _pr = _same_pads(t, k, s)
     nsh = (k - 1) // s + 1
+    # Geometry guards: the xt scratch/DMA uses (_TT+8)-row windows, so the
+    # frame build supports at most 9 input rows per output row; large k at
+    # small stride also drives pad_total negative below. Fail loudly with
+    # the supported envelope instead of a cryptic trace error.
+    if nsh > 9:
+        raise ValueError(
+            f"fused_conv_gn: unsupported geometry kernel={k}, stride={s} — "
+            f"needs (k-1)//s+1 <= 9 (got {nsh}); use XLA's conv instead.")
     tp = _round_up(t_out, _TT)
     # every tile DMAs an aligned (TT+8)-row window; the last starts at
     # tp - _TT
     rows_needed = tp + 8
     pad_total = rows_needed * s - t - pl_
+    if pad_total < 0:
+        raise ValueError(
+            f"fused_conv_gn: kernel={k}, stride={s}, T={t} leaves "
+            f"pad_total={pad_total} < 0 — geometry outside the supported "
+            f"envelope (see docstring).")
     x_p = jnp.pad(x, [(0, 0), (pl_, pad_total), (0, 0)])
     x2 = x_p.reshape(bsz, rows_needed, s * cin)
 

@@ -115,11 +115,8 @@ def dct_matrix(n: int, n_out: int | None = None) -> jnp.ndarray:
     k = np.arange(n_out)[:, None]
     j = np.arange(n)[None, :]
     d = np.cos(np.pi * k * (2 * j + 1) / (2 * n)) * 2.0
-    scale = np.ones((n_out, 1)) * np.sqrt(1.0 / (4.0 * n)) * np.sqrt(2.0)
-    scale[0, 0] = np.sqrt(1.0 / (4.0 * n))
     # scipy ortho norm: f0 = sqrt(1/(4N)), fk = sqrt(1/(2N))
     d = d * np.where(k == 0, np.sqrt(1.0 / (4.0 * n)), np.sqrt(1.0 / (2.0 * n)))
-    del scale
     return d.astype(np.float32)
 
 
