@@ -2,10 +2,12 @@
 
 HiFi-GAN-style: 3 Conv1d sub-discriminators at {1×, 2×, 4×} temporal
 downsampling, LSGAN losses, feature matching. The reference's spectral
-normalisation is replaced by weight normalisation via simple L2 kernel
-rescaling (spectral norm's power iteration is a host-unfriendly sequential
-op; weight-norm gives the same Lipschitz-style conditioning and is one
-elementwise rescale on device — documented deviation).
+normalisation (losses.py:162,169) is replaced by weight normalisation
+(``_NormedConv``: W = g·V/‖V‖ per output channel) — spectral norm's power
+iteration is a host-unfriendly sequential op on TPU; weight norm gives
+the same Lipschitz-style conditioning as one elementwise rescale on
+device (documented deviation; normalisation asserted by
+tests/test_losses.py::TestNormedConv).
 """
 
 from __future__ import annotations
@@ -20,17 +22,31 @@ from sincformer_tpu import config as cfg
 
 
 class _NormedConv(nn.Module):
-    """Conv over time with unit-norm kernels × learnable gain."""
+    """Conv over time with weight normalisation: W = g · V/‖V‖ per output
+    channel (Salimans & Kingma 2016). This is the conditioning the
+    reference gets from ``nn.utils.spectral_norm`` (losses.py:162,169) —
+    weight norm bounds each output channel's kernel energy with one
+    elementwise rescale at trace time, where spectral norm's power
+    iteration is a sequential host-unfriendly op on TPU."""
     features: int
     kernel_size: int
     stride: int = 1
 
     @nn.compact
     def __call__(self, x):
-        conv = nn.Conv(self.features, (self.kernel_size,),
-                       strides=(self.stride,), padding="SAME", name="conv")
-        y = conv(x)
-        return y
+        cin = x.shape[-1]
+        v = self.param("kernel_v", nn.initializers.lecun_normal(),
+                       (self.kernel_size, cin, self.features))
+        g = self.param("gain", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        norm = jnp.sqrt(jnp.sum(v.astype(jnp.float32) ** 2,
+                                axis=(0, 1)) + 1e-12)
+        w = (v.astype(jnp.float32) / norm) * g
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype),
+            window_strides=(self.stride,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return y + b.astype(y.dtype)
 
 
 class SubDiscriminator(nn.Module):

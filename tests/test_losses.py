@@ -127,6 +127,27 @@ class TestAdversarial:
         fm = float(feature_matching_loss(out_r, out_f))
         assert d > 0 and g > 0 and fm > 0
 
+    def test_normed_conv_weight_norm(self, rng):
+        """_NormedConv's effective kernel has per-output-channel L2 norm
+        equal to |gain| (the weight-norm conditioning the reference gets
+        from spectral_norm, losses.py:162,169) — and scaling the raw V
+        parameter must NOT change the output (norm invariance)."""
+        from sincformer_tpu.train.adversarial import _NormedConv
+        conv = _NormedConv(features=8, kernel_size=5, stride=1)
+        x = jnp.asarray(rng.standard_normal((2, 32, 4)), jnp.float32)
+        params = conv.init(jax.random.PRNGKey(0), x)
+        v = params["params"]["kernel_v"]
+        g = params["params"]["gain"]
+        w = (v / jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1)) + 1e-12)) * g
+        norms = jnp.sqrt(jnp.sum(w ** 2, axis=(0, 1)))
+        assert float(jnp.max(jnp.abs(norms - jnp.abs(g)))) < 1e-5
+        # output invariant to rescaling V (only the direction matters)
+        y1 = conv.apply(params, x)
+        params2 = jax.tree.map(lambda p: p, params)
+        params2["params"]["kernel_v"] = v * 7.3
+        y2 = conv.apply(params2, x)
+        assert float(jnp.max(jnp.abs(y1 - y2))) < 1e-4
+
     def test_discriminator_gradient(self, rng):
         from sincformer_tpu.train.adversarial import (
             MultiScaleDiscriminator, discriminator_loss)
