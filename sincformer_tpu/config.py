@@ -222,6 +222,10 @@ class AgentConfig:
     sinc_kernel_size: int = 251    # perception.py:154
     memory_slots: int = 64         # memory.py:41
     msa_phase_bound_div: float = 8.0  # msa.py:168 (π/8)
+    # PerceptionAgent compute formulation: "mxu" = frame-rate GEMM encoder
+    # (round-3 TPU reformulation, agents/perception.py::PerceptionAgentMXU);
+    # "reference" = the stride-2 cascade parity path
+    pa_impl: str = "mxu"
 
 
 @dataclass(frozen=True)
@@ -230,6 +234,9 @@ class LossConfig:
     perceptual_weight: float = 10.0
     adversarial_weight: float = 0.5
     commitment_weight: float = 0.25
+    # stage-1/2 mask-domain MSE (Eq. 14; reference curriculum.py:30-40
+    # prescribes loss_type "mse", losses.py:22-30 — orphaned there)
+    mask_mse_weight: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -32,7 +32,7 @@ from sincformer_tpu.data.loader import WaveformDataset, batch_iterator
 from sincformer_tpu.dsp.stft import istft, stft
 from sincformer_tpu.parallel.mesh import shard_batch
 from sincformer_tpu.train.curriculum import CurriculumScheduler
-from sincformer_tpu.train.losses import (PerceptualSTOILoss,
+from sincformer_tpu.train.losses import (PerceptualSTOILoss, mse_mask_loss,
                                          multi_resolution_stft_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
@@ -56,7 +56,8 @@ def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
               hop=acfg.hop_size,
               # MSA's ConformerBlocks follow the global attention default
               # (the Pallas speech kernel on TPU, docs/PERF.md)
-              attn_impl=cfg.DEFAULT.conformer.attn_impl)
+              attn_impl=cfg.DEFAULT.conformer.attn_impl,
+              pa_impl=agcfg.pa_impl)
     kw.update(overrides)
     return SincformerMetacog(**kw)
 
@@ -76,6 +77,23 @@ def _checkpoint_cpea_impl(path: str) -> str | None:
         return "ssm"
     if any(k.startswith("bilstm") or "lstm" in k for k in keys):
         return "lstm"
+    return None
+
+
+def _checkpoint_pa_impl(path: str) -> str | None:
+    """Which PerceptionAgent variant ("mxu" | "reference") a sincformer
+    checkpoint was trained with (param-tree metadata only)."""
+    try:
+        import orbax.checkpoint as ocp
+        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        tree = getattr(meta, "item_metadata", meta)
+        keys = set(tree["params"]["pa"].keys())
+    except Exception:
+        return None
+    if "embed" in keys:
+        return "mxu"
+    if "downsample" in keys:
+        return "reference"
     return None
 
 
@@ -106,6 +124,9 @@ class SincformerPipeline:
         # there); the reference's 0.5 weight (config.py:112)
         self.use_adversarial = use_adversarial
         self.adv_weight = lcfg.adversarial_weight
+        # stage-1/2 mask-domain supervision (Eq. 14) against the STFT-grid
+        # oracle PCIRM — gated per-stage by the traced use_mask_mse scalar
+        self.mask_mse_weight = lcfg.mask_mse_weight
         self.stoi_loss = PerceptualSTOILoss(self.fs, acfg.fft_size)
         self.disc = None
         self.disc_state = None
@@ -164,9 +185,9 @@ class SincformerPipeline:
 
     def _loss(self, params, model_state, noisy, clean, rng, train: bool,
               use_perceptual, use_vq, disc_params=None, use_adv=None,
-              gumbel_tau=None):
-        """use_perceptual / use_vq / use_adv / gumbel_tau are traced
-        scalars so one compiled step serves every curriculum stage."""
+              gumbel_tau=None, use_mask_mse=None):
+        """use_perceptual / use_vq / use_adv / use_mask_mse / gumbel_tau are
+        traced scalars so one compiled step serves every curriculum stage."""
         n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                              self.acfg.frame_size)
         noisy_spec = stft(noisy, n_fft, hop, frame)
@@ -197,6 +218,33 @@ class SincformerPipeline:
         total = (loss_sisnr + 0.5 * loss_mag + loss_stft
                  + use_perceptual * self.perceptual_weight * loss_stoi
                  + use_vq * self.vq_weight * out["vq_loss"])
+        if use_mask_mse is not None:
+            # mask-domain supervision (Eq. 14): oracle PCIRM on the STFT
+            # grid from the mixture's own (clean, noise) decomposition —
+            # the loss the reference curriculum prescribes for stages 1-2
+            # (curriculum.py:30-47) but never consumes (losses.py:22-30)
+            from sincformer_tpu.masks.pcirm import (
+                compute_correlation_coefficients, compute_pcirm,
+                compute_phase_differences)
+            noise_r = noisy_spec.real - clean_spec.real
+            noise_i = noisy_spec.imag - clean_spec.imag
+            noise_mag = jnp.sqrt(noise_r ** 2 + noise_i ** 2 + 1e-8)
+            noisy_mag = jnp.sqrt(noisy_spec.real ** 2
+                                 + noisy_spec.imag ** 2 + 1e-8)
+            phi1, phi2 = compute_phase_differences(
+                jnp.arctan2(noisy_spec.imag, noisy_spec.real),
+                jnp.arctan2(clean_spec.imag, clean_spec.real),
+                jnp.arctan2(noise_i, noise_r))
+            rho_s, rho_n = compute_correlation_coefficients(
+                noisy_mag, clean_mag, noise_mag, per_unit=True)
+            oracle = compute_pcirm(clean_mag, noise_mag, rho_s, rho_n,
+                                   phi1, phi2)
+            t_m = out["mask_mag"].shape[1]
+            loss_mask = mse_mask_loss(
+                out["mask_mag"],
+                jax.lax.stop_gradient(oracle[:, :t_m]))
+            total = total + (use_mask_mse * self.mask_mse_weight
+                             * loss_mask)
         if disc_params is not None:
             from sincformer_tpu.train.adversarial import (
                 feature_matching_loss, generator_loss)
@@ -218,11 +266,12 @@ class SincformerPipeline:
 
             @jax.jit
             def step(state: TrainState, noisy, clean, rng, use_perceptual,
-                     use_vq, gumbel_tau):
+                     use_vq, gumbel_tau, use_mask_mse=1.0):
                 (loss, aux), grads = jax.value_and_grad(
                     lambda p: loss_fn(p, state.model_state, noisy, clean,
                                       rng, True, use_perceptual, use_vq,
-                                      gumbel_tau=gumbel_tau),
+                                      gumbel_tau=gumbel_tau,
+                                      use_mask_mse=use_mask_mse),
                     has_aux=True)(state.params)
                 grads, is_bad = guard_nan_update(grads, loss)
                 new_state = state.apply_gradients(grads=grads)
@@ -237,13 +286,14 @@ class SincformerPipeline:
 
         @jax.jit
         def step(state: TrainState, disc_state: TrainState, noisy, clean,
-                 rng, use_perceptual, use_vq, use_adv, gumbel_tau):
+                 rng, use_perceptual, use_vq, use_adv, gumbel_tau,
+                 use_mask_mse=1.0):
             # generator update (disc params frozen inside the loss)
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, state.model_state, noisy, clean, rng,
                                   True, use_perceptual, use_vq,
                                   jax.lax.stop_gradient(disc_state.params),
-                                  use_adv, gumbel_tau),
+                                  use_adv, gumbel_tau, use_mask_mse),
                 has_aux=True)(state.params)
             grads, is_bad = guard_nan_update(grads, loss)
             new_state = state.apply_gradients(grads=grads)
@@ -331,6 +381,10 @@ class SincformerPipeline:
             use_perc = jnp.asarray(
                 1.0 if "perceptual" in stage.get("loss_type", "") else 0.0)
             use_vq = jnp.asarray(1.0 if stage.get("use_vq") else 0.0)
+            # stage-1/2 "mse" = mask-domain Eq. 14 supervision (the
+            # reference's prescribed-but-orphaned loss, curriculum.py:30-47)
+            use_mmse = jnp.asarray(
+                1.0 if "mse" in stage.get("loss_type", "") else 0.0)
             # Gumbel temperature annealing: 2.0 → 0.5 over the run (softer
             # early routing, near-discrete late)
             gumbel_tau = jnp.asarray(
@@ -361,11 +415,11 @@ class SincformerPipeline:
                     (self.state, self.disc_state, loss, sisnr,
                      _dl) = train_step(self.state, self.disc_state, noisy,
                                        clean, sub, use_perc, use_vq,
-                                       use_adv, gumbel_tau)
+                                       use_adv, gumbel_tau, use_mmse)
                 else:
                     self.state, loss, sisnr = train_step(
                         self.state, noisy, clean, sub, use_perc, use_vq,
-                        gumbel_tau)
+                        gumbel_tau, use_mmse)
                 losses.append(loss)
                 sisnrs.append(sisnr)
             n_b = len(losses)
@@ -409,9 +463,17 @@ class SincformerPipeline:
 
     # ── model I/O ───────────────────────────────────────────────────────
 
-    def save_model(self, name: str = "sincformer_final"):
+    def save_model(self, name: str = "sincformer_final",
+                   quantize: bool = False):
+        """``quantize=True`` writes an int8 serving checkpoint (~4× smaller,
+        dequantized transparently on load; no optimizer state)."""
         if self.state is None:
             return
+        if quantize:
+            from sincformer_tpu.train.state import save_checkpoint_quantized
+            return save_checkpoint_quantized(
+                os.path.join(self.model_dir, name), self.state,
+                step=int(self.state.step))
         return save_checkpoint(os.path.join(self.model_dir, name),
                                self.state, step=int(self.state.step))
 
@@ -424,13 +486,18 @@ class SincformerPipeline:
         if path is None:
             raise FileNotFoundError("no sincformer checkpoint found")
         if self.state is None:
-            # Match the model skeleton to the checkpoint's CPEA impl so a
-            # cpea_impl="ssm"-trained model restores without the caller
-            # having to know how it was trained.
+            # Match the model skeleton to the checkpoint's CPEA/PA impls so
+            # a model trained with either variant restores without the
+            # caller having to know how it was trained.
+            overrides = {}
             impl = _checkpoint_cpea_impl(path)
             if impl and impl != self.model.cpea_impl:
-                self.model = default_metacog(self.acfg,
-                                             cpea_impl=impl)
+                overrides["cpea_impl"] = impl
+            pa = _checkpoint_pa_impl(path)
+            if pa and pa != self.model.pa_impl:
+                overrides["pa_impl"] = pa
+            if overrides:
+                self.model = default_metacog(self.acfg, **overrides)
             self.init_state(epochs=1, steps_per_epoch=1)
         self.state = restore_checkpoint(path, self.state)
         return path
