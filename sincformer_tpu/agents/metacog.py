@@ -39,7 +39,8 @@ from sincformer_tpu.agents.cpea import CorrelationPhaseEstimationAgent
 from sincformer_tpu.agents.maa import MetacognitiveArbitrationAgent
 from sincformer_tpu.agents.memory import EpisodicMemory
 from sincformer_tpu.agents.msa import MaskSynthesisAgent
-from sincformer_tpu.agents.perception import PerceptionAgent
+from sincformer_tpu.agents.perception import (PerceptionAgent,
+                                              PerceptionAgentMXU)
 from sincformer_tpu.models.vq import VectorQuantizer
 
 
@@ -69,6 +70,8 @@ class SincformerMetacog(nn.Module):
     episodic_slots: int = 16      # writable bank (continual adaptation)
     routing: str = "gumbel"
     attn_impl: str = "xla"   # threaded into every ConformerBlock (MSA)
+    pa_impl: str = "mxu"     # "mxu" (frame-rate GEMM encoder, TPU-fast) |
+                             # "reference" (stride-2 cascade parity)
     enable_resample: bool = True
     sample_rate: int = 8000
     sinc_kernel_size: int = 251
@@ -81,8 +84,10 @@ class SincformerMetacog(nn.Module):
                  gumbel_tau: float | jnp.ndarray | None = None
                  ) -> Dict[str, jnp.ndarray]:
         # ── Perception ───────────────────────────────────────────────────
-        pa = PerceptionAgent(self.encoder_channels, self.sample_rate,
-                             self.sinc_kernel_size, self.hop, name="pa")
+        pa_cls = (PerceptionAgentMXU if self.pa_impl == "mxu"
+                  else PerceptionAgent)
+        pa = pa_cls(self.encoder_channels, self.sample_rate,
+                    self.sinc_kernel_size, self.hop, name="pa")
         z_real, z_imag, sigma = pa(waveform)          # (B, D, T'), (B,1,T')
 
         # align latent frames to the STFT grid (T = N//hop + 1, T' = N//hop)

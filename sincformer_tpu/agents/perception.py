@@ -44,6 +44,82 @@ class _ConvBlock(nn.Module):
         return nn.gelu(main + skip)
 
 
+class PerceptionAgentMXU(nn.Module):
+    """MXU-dominated PerceptionAgent reformulation (round-3 perf work).
+
+    Same contract as :class:`PerceptionAgent` — (B, N) waveform →
+    (z_real, z_imag, σ) on the 100 Hz STFT grid — but the compute is
+    reorganised for the TPU systolic array instead of translating the
+    reference's stride-2 cascade (reference agents/perception.py:132-254):
+
+      * SincConv stays (the learnable auditory filterbank is the PA's
+        identity, and it is cheap: 1.3 ms of the old 17 ms).
+      * The four stride-2 conv stages running at 8→0.5 kHz sample rates
+        are REPLACED by one overlapping frame patchify (win = 2·hop,
+        hop = 80 → the exact STFT grid) + a single Dense embedding GEMM
+        with K = win·C_sinc ≈ 10k contraction — dense MXU work where the
+        cascade ran at ~19 % MXU with ~8 full-rate HBM passes per block
+        (docs/PERF.md round-2c profile).
+      * All residual conv mixing happens AT FRAME RATE (T' = N/80), where
+        GroupNorm's whole-sequence stats cost nothing.
+
+    The 16×-stride + 5× pool rate mismatch of the reference disappears:
+    the latent is born on the STFT grid.
+    """
+
+    encoder_channels: int = 256
+    sample_rate: int = 8000
+    sinc_kernel_size: int = 251
+    align_hop: int = 80           # latent hop == STFT hop
+    num_blocks: int = 3
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        d = self.encoder_channels
+        hop = self.align_hop
+        c_sinc = d // 4
+        x = SincConv1d(out_channels=c_sinc,
+                       kernel_size=self.sinc_kernel_size,
+                       sample_rate=self.sample_rate,
+                       name="sinc")(waveform)            # (B, C, N)
+        x = jnp.swapaxes(x, 1, 2)                        # (B, N, C)
+        # cheap learned per-channel scale + GELU at sample rate (fuses into
+        # the conv epilogue; the old whole-sequence GroupNorm at 8 kHz cost
+        # 3.2 ms of HBM traffic)
+        scale = self.param("act_scale", nn.initializers.ones, (c_sinc,))
+        x = nn.gelu(x * scale)
+
+        # overlapping patchify onto the STFT grid: frame j covers samples
+        # [j·hop, j·hop + 2·hop) — scatter-free (two shifted reshapes)
+        b, n, c = x.shape
+        t = n // hop                                     # frames (== N/80)
+        chunks = x[:, :t * hop].reshape(b, t, hop * c)
+        nxt = jnp.concatenate([chunks[:, 1:],
+                               jnp.zeros_like(chunks[:, :1])], axis=1)
+        frames = jnp.concatenate([chunks, nxt], axis=-1)  # (B, T, 2·hop·C)
+
+        h = nn.Dense(d, name="embed")(frames)            # the big GEMM
+        h = nn.LayerNorm(name="embed_ln")(h)
+        h = nn.gelu(h)
+
+        for i in range(self.num_blocks):
+            h = _ConvBlock(d, stride=1, name=f"block_{i}")(h)
+
+        z_real = nn.GroupNorm(num_groups=16, name="gn_real")(
+            nn.Dense(d, name="real_proj")(h))
+        z_imag = nn.GroupNorm(num_groups=16, name="gn_imag")(
+            nn.Dense(d, name="imag_proj")(h))
+
+        u = nn.Conv(d // 4, (3,), padding="SAME", name="unc1")(h)
+        u = nn.gelu(u)
+        log_var = nn.Dense(1, name="unc2")(u)
+        sigma = jnp.exp(0.5 * jnp.clip(log_var, -10.0, 10.0))
+
+        return (jnp.swapaxes(z_real, 1, 2), jnp.swapaxes(z_imag, 1, 2),
+                jnp.swapaxes(sigma, 1, 2))
+
+
 class PerceptionAgent(nn.Module):
     """(B, N) waveform → (z_real, z_imag, σ): (B, D, T'), (B, D, T'), (B, 1, T')."""
 

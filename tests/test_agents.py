@@ -62,6 +62,55 @@ class TestPerceptionAgent:
         assert bool(jnp.all(sigma > 0))
 
 
+class TestPerceptionAgentMXU:
+    def test_contract_matches_reference_impl(self, rng):
+        """Same (z_real, z_imag, σ) contract and STFT-grid alignment as
+        the stride-2 cascade variant, plus gradient flow to the sinc
+        cutoffs through the patchify+GEMM path."""
+        from sincformer_tpu.agents.perception import PerceptionAgentMXU
+        pa = PerceptionAgentMXU(encoder_channels=64)
+        n = 8000
+        x = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        params = pa.init(jax.random.PRNGKey(0), x)
+        z_r, z_i, sigma = pa.apply(params, x)
+        assert z_r.shape == (2, 64, n // 80)
+        assert z_i.shape == z_r.shape
+        assert sigma.shape == (2, 1, n // 80)
+        assert bool(jnp.all(sigma > 0))
+        assert bool(jnp.all(jnp.isfinite(z_r)))
+
+        def loss(p):
+            a, b, s = pa.apply(p, x)
+            return jnp.sum(a ** 2) + jnp.sum(b ** 2) + jnp.sum(s)
+
+        g = jax.grad(loss)(params)
+        sinc_g = g["params"]["sinc"]
+        assert float(jnp.sum(jnp.abs(sinc_g["low_hz"]))) > 0
+        assert float(jnp.sum(jnp.abs(sinc_g["band_hz"]))) > 0
+
+    def test_metacog_runs_with_both_pa_impls(self, rng):
+        from sincformer_tpu.train.agent_trainer import default_metacog
+        n = 4000
+        wav = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        from sincformer_tpu.dsp.stft import stft
+        spec = stft(wav)
+        for impl in ("mxu", "reference"):
+            model = default_metacog(
+                encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+                d_model=32, msa_blocks=1, num_heads=2, d_ff=64,
+                kernel_size=7, dropout=0.0, memory_slots=4,
+                sinc_kernel_size=65, pa_impl=impl)
+            v = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1),
+                            "routing": jax.random.PRNGKey(2)},
+                           wav, spec.real, spec.imag, train=False)
+            out = model.apply(v, wav, spec.real, spec.imag, train=False)
+            assert out["enhanced_real"].shape == spec.real.shape
+            assert bool(jnp.all(jnp.isfinite(out["enhanced_real"])))
+            pa_keys = set(v["params"]["pa"].keys())
+            assert ("embed" in pa_keys) == (impl == "mxu")
+
+
 class TestCPEA:
     def test_heads_ranges(self, rng):
         cpea = CorrelationPhaseEstimationAgent(input_dim=32, hidden_size=16,
