@@ -9,7 +9,8 @@ P.862 narrowband *algorithm* (every stage of §10 of the standard):
   1. level alignment of both signals to 1e7 target power in the
      350–3250 Hz band,
   2. the standard IRS receive filter (FFT-domain piecewise-dB response)
-     plus a DC block and input high-pass,
+     plus a DC block and an input IIR biquad cascade (100 Hz HP ×
+     3.6 kHz LP, the P.862 input-characteristic structure),
   3. VAD envelope extraction, crude alignment by log-VAD cross-correlation,
      utterance segmentation, and per-utterance fine time alignment via a
      confidence-weighted histogram of per-frame delays,
@@ -163,13 +164,32 @@ def _dc_block(x: np.ndarray) -> np.ndarray:
     return y
 
 
+_INPUT_SOS = None
+
+
+def _input_sos():
+    """Biquad cascade matching the ITU input filter's STRUCTURE (a chain of
+    second-order sections band-limiting to the narrowband telephone range):
+    a 4th-order 100 Hz high-pass plus a 2nd-order 3.6 kHz low-pass, applied
+    as one sos cascade. The ITU numeric coefficients (pesq dsp.c
+    InIIR_Hsos) are not available offline; the band edges and roll-off
+    orders here follow the P.862 §10.1 input characteristic. Documented
+    deviation — see module docstring."""
+    global _INPUT_SOS
+    if _INPUT_SOS is None:
+        from scipy.signal import butter
+        hp = butter(4, 100.0 / (FS / 2), "high", output="sos")
+        lp = butter(2, 3600.0 / (FS / 2), "low", output="sos")
+        _INPUT_SOS = np.concatenate([hp, lp], axis=0)
+    return _INPUT_SOS
+
+
 def _input_filter(x: np.ndarray) -> np.ndarray:
-    """DC block + ~100 Hz high-pass (stands in for the ITU IIR cascade;
-    both signals receive the identical filter)."""
-    from scipy.signal import butter, lfilter
+    """DC block + ITU-structure IIR cascade (both signals receive the
+    identical filter)."""
+    from scipy.signal import sosfilt
     y = _dc_block(x)
-    b, a = butter(2, 100.0 / (FS / 2), "high")
-    return lfilter(b, a, y)
+    return sosfilt(_input_sos(), y)
 
 
 # ─── Stage 3: VAD and time alignment ───────────────────────────────────────

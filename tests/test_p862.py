@@ -26,6 +26,28 @@ def _corpus():
     return clean, noise
 
 
+def _noise_types(n: int):
+    """Four spectrally-distinct synthetic noises (white / pink / low-band
+    "engine" / modulated "babble-ish") for cross-noise-type property
+    tests — stand-ins for NOISEX-92's White/Factory/Engine/Babble."""
+    rng = np.random.default_rng(92)
+    white = rng.standard_normal(n).astype(np.float32)
+    # pink: 1/f spectral shaping
+    spec = np.fft.rfft(rng.standard_normal(n))
+    f = np.maximum(np.arange(len(spec)), 1.0)
+    pink = np.fft.irfft(spec / np.sqrt(f), n).astype(np.float32)
+    # engine: low-frequency band-limited
+    spec = np.fft.rfft(rng.standard_normal(n))
+    keep = np.arange(len(spec)) < n * 300 // 8000
+    engine = np.fft.irfft(spec * keep, n).astype(np.float32)
+    # babble-ish: white amplitude-modulated at syllabic rate
+    t = np.arange(n) / 8000.0
+    babble = (rng.standard_normal(n)
+              * (1.0 + 0.8 * np.sin(2 * np.pi * 4.0 * t))).astype(np.float32)
+    return {"white": white, "pink": pink, "engine": engine,
+            "babble": babble}
+
+
 class TestProperties:
     def test_identical_scores_ceiling(self):
         clean, _ = _corpus()
@@ -54,6 +76,44 @@ class TestProperties:
             [np.zeros(64, np.float32), clean])[:len(clean)]
         assert pesq_p862(clean, delayed) > 3.9
 
+    @pytest.mark.parametrize("ms", [-20, 20])
+    def test_delay_invariance_20ms(self, ms):
+        """±20 ms constant delay on a NOISY condition must not move the
+        score materially (VERDICT r2 #4 acceptance property)."""
+        clean, noise = _corpus()
+        noisy = add_noise_at_snr(clean, noise, 10.0)
+        shift = int(abs(ms) * 8)
+        if ms > 0:
+            shifted = np.concatenate(
+                [np.zeros(shift, np.float32), noisy])[:len(noisy)]
+        else:
+            shifted = np.concatenate(
+                [noisy[shift:], np.zeros(shift, np.float32)])
+        base = pesq_p862(clean, noisy)
+        moved = pesq_p862(clean, shifted)
+        assert abs(base - moved) < 0.25, (base, moved)
+
+    @pytest.mark.parametrize("db", [-10, 10])
+    def test_level_invariance_10db(self, db):
+        """±10 dB global gain on the degraded signal is compensated by the
+        level-alignment stage."""
+        clean, noise = _corpus()
+        noisy = add_noise_at_snr(clean, noise, 10.0)
+        gain = 10.0 ** (db / 20.0)
+        base = pesq_p862(clean, noisy)
+        scaled = pesq_p862(clean, noisy * gain)
+        assert abs(base - scaled) < 1e-6, (base, scaled)
+
+    def test_snr_monotone_across_noise_types(self):
+        """Score decreases with SNR for EVERY spectrally-distinct noise
+        type, not just white (VERDICT r2 #4 acceptance property)."""
+        clean, _ = _corpus()
+        for name, noise in _noise_types(len(clean)).items():
+            scores = [pesq_p862(clean, add_noise_at_snr(clean, noise, snr))
+                      for snr in (30, 15, 0)]
+            assert all(a > b for a, b in zip(scores, scores[1:])), (
+                name, scores)
+
     def test_range_and_floor(self):
         clean, noise = _corpus()
         s = pesq_p862(clean, noise[:len(clean)])   # unrelated signal
@@ -67,7 +127,9 @@ class TestProperties:
 class TestGoldenRegression:
     # Regenerate ONLY with an intentional algorithm change:
     #   python -c "from tests.test_p862 import _print_golden; _print_golden()"
-    GOLDEN = {30: 3.3342, 10: 2.1360, 0: 1.7343}
+    # r3: regenerated after the input filter became the ITU-structure sos
+    # cascade (100 Hz HP^4 × 3.6 kHz LP^2) — scores moved < 0.01
+    GOLDEN = {30: 3.3435, 10: 2.1399, 0: 1.7369}
 
     def test_pinned_scores(self):
         clean, noise = _corpus()
