@@ -335,8 +335,17 @@ def print_grid_tables(results: Dict, snr_levels: Sequence[float],
 
 
 def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
-                        metrics: Sequence[str] = METRICS):
-    """CLI entry: discover models + data, evaluate, print tables."""
+                        metrics: Sequence[str] = METRICS,
+                        distributed: bool = False,
+                        use_mesh: bool = False):
+    """CLI entry: discover models + data, evaluate, print tables.
+
+    ``use_mesh`` shards the metric sweep over all local devices (the
+    ``mesh`` parameter of :func:`evaluate_grid`); ``distributed`` deals
+    (noise × SNR) cells round-robin to processes via
+    :func:`evaluate_grid_distributed` (multi-host — initialise
+    ``jax.distributed`` first, parallel.distributed.init_distributed).
+    """
     model_dir = model_dir or cfg.DEFAULT.data.model_dir
     fs = cfg.DEFAULT.audio.sample_rate
     print("=" * 70)
@@ -377,8 +386,31 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
           f"{len(noises)} noises × {len(snr_levels)} SNRs")
     print(f"  Methods: noisy, {', '.join(pipelines.keys())}")
 
-    results = evaluate_grid(clean_signals, noises, pipelines, snr_levels,
-                            metrics)
+    mesh = None
+    if use_mesh:
+        import jax
+
+        from sincformer_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            print(f"  Metric sweep sharded over mesh {dict(mesh.shape)}")
+        else:
+            print("  --mesh requested but only one device is visible — "
+                  "running unsharded")
+    if distributed:
+        import jax
+
+        from sincformer_tpu.parallel.distributed import init_distributed
+        init_distributed()
+        print(f"  Distributed grid: process {jax.process_index()} of "
+              f"{jax.process_count()}")
+        results = evaluate_grid_distributed(
+            clean_signals, noises, pipelines, snr_levels,
+            out_dir=os.path.join(model_dir, "_distributed_eval"),
+            metrics=metrics, mesh=mesh)
+    else:
+        results = evaluate_grid(clean_signals, noises, pipelines,
+                                snr_levels, metrics, mesh=mesh)
     summary = print_grid_tables(results, snr_levels, metrics)
     print(f"\n{'=' * 70}\n  Evaluation complete!\n{'=' * 70}")
     return summary
