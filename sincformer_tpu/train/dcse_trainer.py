@@ -256,9 +256,17 @@ class DCSEPipeline:
 
     # ── model I/O ───────────────────────────────────────────────────────
 
-    def save_model(self, name: str = "conformer_final"):
+    def save_model(self, name: str = "conformer_final",
+                   quantize: bool = False):
+        """``quantize=True`` writes an int8 serving checkpoint (~4× smaller,
+        dequantized transparently on load; no optimizer state)."""
         if self.state is None:
             return
+        if quantize:
+            from sincformer_tpu.train.state import save_checkpoint_quantized
+            return save_checkpoint_quantized(
+                os.path.join(self.model_dir, name), self.state,
+                step=int(self.state.step))
         return save_checkpoint(os.path.join(self.model_dir, name),
                                self.state, step=int(self.state.step))
 

@@ -164,10 +164,72 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
     return path
 
 
+def save_checkpoint_quantized(ckpt_dir: str, state: TrainState, step: int,
+                              extra: Optional[dict] = None):
+    """Serving checkpoint: params int8-quantized per output channel
+    (ops/quantize.py stochastic-rounding kernels), ~4× smaller on disk.
+    Optimizer state is NOT saved — a quantized checkpoint is a deployment
+    artifact, not a training resume point. Restored transparently by
+    :func:`restore_checkpoint` (dequantize-on-load)."""
+    import orbax.checkpoint as ocp
+
+    from sincformer_tpu.ops.quantize import quantize_tree
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params_q": quantize_tree(state.params),
+               "step": jnp.asarray(state.step)}
+    if state.model_state is not None:
+        payload["model_state"] = state.model_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    meta = dict(extra or {})
+    meta["quantized"] = True
+    import json
+
+    import numpy as np
+
+    def _tolist(v):
+        return v.tolist() if isinstance(v, (jnp.ndarray, np.ndarray)) else v
+    with open(os.path.join(ckpt_dir, f"step_{step}.meta.json"), "w") as f:
+        json.dump({k: _tolist(v) for k, v in meta.items()}, f)
+    return path
+
+
+def _is_quantized_checkpoint(path: str) -> bool:
+    meta = os.path.abspath(path) + ".meta.json"
+    if os.path.exists(meta):
+        import json
+        try:
+            with open(meta) as f:
+                return bool(json.load(f).get("quantized", False))
+        except Exception:
+            return False
+    return False
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
-    """Restore a full train state saved by :func:`save_checkpoint`."""
+    """Restore a full train state saved by :func:`save_checkpoint`, or a
+    quantized serving checkpoint (:func:`save_checkpoint_quantized`) —
+    detected via the sidecar metadata and dequantized on load."""
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
+    if _is_quantized_checkpoint(path):
+        from sincformer_tpu.ops.quantize import (dequantize_tree,
+                                                 quantize_tree)
+        # orbax needs concrete arrays (with shardings) as the template, so
+        # materialise zeros in the quantized structure
+        abstract = jax.eval_shape(quantize_tree, state.params)
+        template_q = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  abstract)
+        template = {"params_q": template_q,
+                    "step": jnp.asarray(state.step)}
+        if state.model_state is not None:
+            template["model_state"] = state.model_state
+        restored = ckptr.restore(os.path.abspath(path), template)
+        params = dequantize_tree(restored["params_q"])
+        return state.replace(params=params, step=int(restored["step"]),
+                             model_state=restored.get("model_state",
+                                                      state.model_state))
     template = {"params": state.params, "opt_state": state.opt_state,
                 "step": jnp.asarray(state.step)}
     if state.model_state is not None:
