@@ -149,6 +149,41 @@ class MultiHeadSelfAttention(nn.Module):
         return residual + o
 
 
+class DepthwiseConv(nn.Module):
+    """SAME-padded stride-1 depthwise conv over time, (B, T, D).
+
+    Param-compatible with ``nn.Conv(..., feature_group_count=D)`` (same
+    "kernel"/"bias" names, shapes and inits — checkpoints interchange).
+    When a context-parallel ``ops.ring_mesh`` context is active at trace
+    time and the geometry allows, the conv runs as a halo-exchange
+    ``shard_map`` (ops/cp_conv.py) instead of letting GSPMD partition it —
+    jax 0.9.0's partitioner double-counts conv kernel grads on multi-axis
+    meshes (see ops/cp_conv.py docstring)."""
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        from sincformer_tpu.ops.attention import active_ring_mesh
+        ctx = active_ring_mesh()
+        if ctx is not None and k % 2 == 1:
+            mesh, seq_axis = ctx
+            n = mesh.shape[seq_axis]
+            t = x.shape[1]
+            if t % n == 0 and t // n >= (k - 1) // 2:
+                from sincformer_tpu.ops.cp_conv import cp_depthwise_conv
+                return cp_depthwise_conv(x, kernel, bias, mesh, seq_axis)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1,),
+            padding="SAME", dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.features)
+        return y + bias.astype(y.dtype)
+
+
 class ConvolutionModule(nn.Module):
     """LN → pointwise(2d) → GLU → depthwise(k) → norm → Swish → pointwise →
     Drop, residual (reference conformer.py:74-128)."""
@@ -164,9 +199,8 @@ class ConvolutionModule(nn.Module):
         x = nn.Dense(2 * self.d_model, name="pointwise1")(x)
         x = nn.glu(x, axis=-1)
         # depthwise conv over time: (B, T, D), feature_group_count=D
-        x = nn.Conv(self.d_model, kernel_size=(self.kernel_size,),
-                    feature_group_count=self.d_model, padding="SAME",
-                    name="depthwise")(x)
+        x = DepthwiseConv(self.d_model, self.kernel_size,
+                          name="depthwise")(x)
         if self.norm == "batch":
             x = nn.BatchNorm(use_running_average=deterministic,
                              name="bn")(x)
