@@ -160,7 +160,9 @@ def train(args):
             clean_te = [load_audio(f, fs) for f in te_files]
             noises = load_noise_signals(fs)
         from sincformer_tpu.train.agent_trainer import default_metacog
-        model = default_metacog(cpea_impl=getattr(args, "cpea", "lstm"))
+        model = default_metacog(cpea_impl=getattr(args, "cpea", "lstm"),
+                                pa_impl=getattr(args, "pa", None)
+                                or cfg.DEFAULT.agents.pa_impl)
         pipe = SincformerPipeline(
             model=model,
             use_adversarial=getattr(args, "adversarial", False))
@@ -331,6 +333,9 @@ def main(argv=None):
     tp.add_argument("--epochs", type=int, default=None)
     tp.add_argument("--max-train", type=int, default=100)
     tp.add_argument("--max-test", type=int, default=20)
+    tp.add_argument("--pa", default=None, choices=["mxu", "reference"],
+                    help="PerceptionAgent formulation (agents pipeline); "
+                         "default follows config (mxu)")
     tp.add_argument("--cpea", default="lstm", choices=["lstm", "ssm"],
                     help="CPEA sequence mixer: 'lstm' (reference parity) or"
                          " 'ssm' (bidirectional LRU, ~16%% faster steps)")

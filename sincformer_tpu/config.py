@@ -235,8 +235,11 @@ class LossConfig:
     adversarial_weight: float = 0.5
     commitment_weight: float = 0.25
     # stage-1/2 mask-domain MSE (Eq. 14; reference curriculum.py:30-40
-    # prescribes loss_type "mse", losses.py:22-30 — orphaned there)
-    mask_mse_weight: float = 1.0
+    # prescribes loss_type "mse", losses.py:22-30 — orphaned there);
+    # env-overridable for ablations
+    mask_mse_weight: float = field(
+        default_factory=lambda: float(
+            os.environ.get("SINCFORMER_MASK_MSE_WEIGHT", "1.0")))
 
 
 @dataclass(frozen=True)

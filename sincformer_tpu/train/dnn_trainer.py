@@ -553,7 +553,12 @@ class DNNPipeline:
     def _accel_device():
         """The accelerator for batched enhancement (VERDICT r2 weak #1: the
         feature stack is pure jnp and belongs on the TPU), or the host CPU
-        when none exists / ``SINCFORMER_DNN_HOST=1`` forces the fallback."""
+        when none exists / ``SINCFORMER_DNN_HOST=1`` forces the fallback.
+        An explicit ``jax_default_device`` pin (the test suite pins the
+        CPU backend for deterministic parity) always wins."""
+        pinned = jax.config.jax_default_device
+        if pinned is not None:
+            return pinned
         if os.environ.get("SINCFORMER_DNN_HOST", "0") != "1":
             try:
                 dev = jax.devices()[0]
