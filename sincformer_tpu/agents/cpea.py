@@ -20,8 +20,62 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class _LSTMCellParams(nn.Module):
+    """Parameter host that reproduces ``flax.linen.LSTMCell``'s tree
+    EXACTLY (children ii/if/ig/io: bias-free Dense (D,H); hi/hf/hg/ho:
+    biased Dense (H,H), orthogonal recurrent init) but *returns the
+    concatenated gate matrices* instead of running a step — so the scan
+    below can hoist the input GEMM out of the recurrence while staying
+    checkpoint-compatible with the nn.RNN formulation."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, d_in: int, dtype):
+        eye_d = jnp.eye(d_in, dtype=dtype)
+        eye_h = jnp.eye(self.hidden, dtype=dtype)
+        # I @ W == W exactly (one nonzero per row) — materialises each
+        # child Dense's kernel without private-API access.
+        wx = [nn.Dense(self.hidden, use_bias=False, name=n)(eye_d)
+              for n in ("ii", "if", "ig", "io")]
+        hd = [nn.Dense(self.hidden,
+                       kernel_init=nn.initializers.orthogonal(), name=n)
+              for n in ("hi", "hf", "hg", "ho")]
+        wh = [d(eye_h) for d in hd]
+        zero = jnp.zeros((self.hidden,), dtype)
+        b = [d(zero) for d in hd]
+        return (jnp.concatenate(wx, axis=-1),      # (D, 4H)
+                jnp.concatenate(wh, axis=-1),      # (H, 4H)
+                jnp.concatenate(b, axis=-1))       # (4H,)
+
+
+def _lstm_scan(x, w_x, w_h, b, reverse: bool, unroll: int):
+    """LSTM over (B, T, D) with the input projection hoisted to ONE MXU
+    GEMM; only the (B,H)x(H,4H) recurrence stays sequential. Same math as
+    flax LSTMCell (i,f,g,o gate order, zero carry init); ~2x fewer
+    sequential FLOPs and HBM slices per step than scanning the cell."""
+    bsz, _, _ = x.shape
+    h0 = jnp.zeros((bsz, w_h.shape[0]), x.dtype)
+    xp = x @ w_x + b                               # (B, T, 4H)
+    hdim = w_h.shape[0]
+
+    def step(carry, xp_t):
+        h, c = carry
+        g = xp_t + h @ w_h
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(gg)
+        h = nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xp, 0, 1),
+                         reverse=reverse, unroll=unroll)
+    del hdim
+    return jnp.swapaxes(ys, 0, 1)                  # (B, T, H), input order
 
 
 class CorrelationPhaseEstimationAgent(nn.Module):
@@ -44,14 +98,21 @@ class CorrelationPhaseEstimationAgent(nn.Module):
             x = BiLRU(self.input_dim, self.hidden_size, self.num_layers,
                       name="bilru")(x)
         else:
+            # hoisted-GEMM BiLSTM (same param tree + math as the previous
+            # nn.RNN(nn.LSTMCell) formulation — cells LSTMCell_0..3 in
+            # fwd0/bwd0/fwd1/bwd1 order — verified by
+            # tests/test_agents.py::TestCpeaFastLstmParity)
+            idx = 0
             for layer in range(self.num_layers):
-                fwd = nn.RNN(nn.LSTMCell(self.hidden_size),
-                             unroll=self.unroll,
-                             name=f"lstm_fwd_{layer}")(x)
-                bwd = nn.RNN(nn.LSTMCell(self.hidden_size), reverse=True,
-                             keep_order=True, unroll=self.unroll,
-                             name=f"lstm_bwd_{layer}")(x)
-                x = jnp.concatenate([fwd, bwd], axis=-1)  # (B, T, 2H)
+                outs = []
+                for reverse in (False, True):
+                    wx, wh, b = _LSTMCellParams(
+                        self.hidden_size,
+                        name=f"LSTMCell_{idx}")(x.shape[-1], x.dtype)
+                    outs.append(_lstm_scan(x, wx, wh, b, reverse,
+                                           self.unroll))
+                    idx += 1
+                x = jnp.concatenate(outs, axis=-1)        # (B, T, 2H)
 
         rho_s = nn.sigmoid(nn.Dense(self.output_channels,
                                     name="rho_s_head")(x))

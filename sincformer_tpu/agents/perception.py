@@ -45,7 +45,7 @@ class _ConvBlock(nn.Module):
 
 
 class PerceptionAgentMXU(nn.Module):
-    """MXU-dominated PerceptionAgent reformulation (round-3 perf work).
+    """MXU-dominated PerceptionAgent reformulation (round-3 perf work, v2).
 
     Same contract as :class:`PerceptionAgent` — (B, N) waveform →
     (z_real, z_imag, σ) on the 100 Hz STFT grid — but the compute is
@@ -55,13 +55,24 @@ class PerceptionAgentMXU(nn.Module):
       * SincConv stays (the learnable auditory filterbank is the PA's
         identity, and it is cheap: 1.3 ms of the old 17 ms).
       * The four stride-2 conv stages running at 8→0.5 kHz sample rates
-        are REPLACED by one overlapping frame patchify (win = 2·hop,
-        hop = 80 → the exact STFT grid) + a single Dense embedding GEMM
-        with K = win·C_sinc ≈ 10k contraction — dense MXU work where the
-        cascade ran at ~19 % MXU with ~8 full-rate HBM passes per block
-        (docs/PERF.md round-2c profile).
+        are REPLACED by overlapping frame patchify onto the STFT grid
+        (hop = 80) + Dense embedding GEMMs with 10k-20k contraction —
+        dense MXU work where the cascade ran at ~19 % MXU with ~8
+        full-rate HBM passes per block (docs/PERF.md round-2c profile).
       * All residual conv mixing happens AT FRAME RATE (T' = N/80), where
         GroupNorm's whole-sequence stats cost nothing.
+
+    v2 (quality fix — the v1 single-patchify regressed CSII/NCM, the
+    high-band/modulation-coherence metrics, by collapsing all sub-frame
+    temporal structure through ONE linear map; ablation in RESULTS.md):
+
+      * the fine window widens to 4·hop (40 ms, matching the cascade's
+        receptive field before its 100 Hz rate),
+      * an explicit ENVELOPE stream — |sinc| → 8× avg-pool (1 kHz) →
+        log1p compression → its own patchify/Dense — hands the trunk the
+        rectified multi-band envelope (= the modulation features the
+        cascade's stacked nonlinearities built implicitly; what the
+        auditory literature calls the AMS front-end, dsp/features.py).
 
     The 16×-stride + 5× pool rate mismatch of the reference disappears:
     the latent is born on the STFT grid.
@@ -72,6 +83,7 @@ class PerceptionAgentMXU(nn.Module):
     sinc_kernel_size: int = 251
     align_hop: int = 80           # latent hop == STFT hop
     num_blocks: int = 3
+    env_pool: int = 8             # envelope stream decimation (8 kHz → 1 kHz)
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray
@@ -84,22 +96,37 @@ class PerceptionAgentMXU(nn.Module):
                        sample_rate=self.sample_rate,
                        name="sinc")(waveform)            # (B, C, N)
         x = jnp.swapaxes(x, 1, 2)                        # (B, N, C)
-        # cheap learned per-channel scale + GELU at sample rate (fuses into
-        # the conv epilogue; the old whole-sequence GroupNorm at 8 kHz cost
-        # 3.2 ms of HBM traffic)
+        b, n, c = x.shape
+        t = n // hop                                     # frames (== N/80)
+
+        # ── envelope stream: rectify → 1 kHz → compress ────────────────
+        pool = self.env_pool
+        env = jnp.abs(x)[:, :t * hop]
+        env = env.reshape(b, (t * hop) // pool, pool, c).mean(axis=2)
+        env = jnp.log1p(env)                             # (B, N/8, C)
+        ehop = hop // pool                               # 10 frames @1 kHz
+        echunks = env.reshape(b, t, ehop * c)            # (B, T, 10·C)
+
+        # ── fine stream: cheap learned per-channel scale + GELU at sample
+        # rate (fuses into the conv epilogue; the old whole-sequence
+        # GroupNorm at 8 kHz cost 3.2 ms of HBM traffic) ────────────────
         scale = self.param("act_scale", nn.initializers.ones, (c_sinc,))
         x = nn.gelu(x * scale)
 
-        # overlapping patchify onto the STFT grid: frame j covers samples
-        # [j·hop, j·hop + 2·hop) — scatter-free (two shifted reshapes)
-        b, n, c = x.shape
-        t = n // hop                                     # frames (== N/80)
+        # overlapping patchify onto the STFT grid: the hop-sized chunk
+        # reshape is a free view; the 4·hop (40 ms) window [(j-1)·hop,
+        # (j+3)·hop) is then a k=4 conv over the chunk sequence — one
+        # fused MXU pass with K = hop·C = 5120 contraction, instead of
+        # materialising a (B, T, 4·hop·C) concat (2 GB at B=128; the v2
+        # Dense-on-concat form measured 17.9 ms vs ~10 for this).
         chunks = x[:, :t * hop].reshape(b, t, hop * c)
-        nxt = jnp.concatenate([chunks[:, 1:],
-                               jnp.zeros_like(chunks[:, :1])], axis=1)
-        frames = jnp.concatenate([chunks, nxt], axis=-1)  # (B, T, 2·hop·C)
+        # NOTE a per-frame LayerNorm on the chunks here (decouple fine
+        # structure from frame level) was trained and rejected: it buys
+        # segmental SNR (+1.0 dB) but costs CSII (0.369→0.298) —
+        # RESULTS.md round-3 ablation, v3 row.
 
-        h = nn.Dense(d, name="embed")(frames)            # the big GEMM
+        h = (nn.Conv(d, (4,), padding="SAME", name="embed")(chunks)
+             + nn.Conv(d, (2,), padding="SAME", name="embed_env")(echunks))
         h = nn.LayerNorm(name="embed_ln")(h)
         h = nn.gelu(h)
 

@@ -125,6 +125,65 @@ class TestCPEA:
             assert bool(jnp.all(jnp.abs(out[k]) <= np.pi + 1e-5))
 
 
+class TestCpeaFastLstmParity:
+    def test_matches_nn_rnn_formulation(self, rng):
+        """The hoisted-GEMM BiLSTM must be numerically identical (and
+        checkpoint-compatible: same LSTMCell_0..3 param tree) to the
+        previous nn.RNN(nn.LSTMCell) formulation."""
+        import flax.linen as nn
+
+        class _OldCPEABody(nn.Module):
+            hidden_size: int
+            num_layers: int = 2
+            unroll: int = 8
+
+            @nn.compact
+            def __call__(self, x):
+                for layer in range(self.num_layers):
+                    fwd = nn.RNN(nn.LSTMCell(self.hidden_size),
+                                 unroll=self.unroll,
+                                 name=f"lstm_fwd_{layer}")(x)
+                    bwd = nn.RNN(nn.LSTMCell(self.hidden_size), reverse=True,
+                                 keep_order=True, unroll=self.unroll,
+                                 name=f"lstm_bwd_{layer}")(x)
+                    x = jnp.concatenate([fwd, bwd], axis=-1)
+                return x
+
+        class _NewCPEABody(nn.Module):
+            hidden_size: int
+            num_layers: int = 2
+            unroll: int = 8
+
+            @nn.compact
+            def __call__(self, x):
+                from sincformer_tpu.agents.cpea import (_LSTMCellParams,
+                                                        _lstm_scan)
+                idx = 0
+                for _layer in range(self.num_layers):
+                    outs = []
+                    for reverse in (False, True):
+                        wx, wh, b = _LSTMCellParams(
+                            self.hidden_size,
+                            name=f"LSTMCell_{idx}")(x.shape[-1], x.dtype)
+                        outs.append(_lstm_scan(x, wx, wh, b, reverse,
+                                               self.unroll))
+                        idx += 1
+                    x = jnp.concatenate(outs, axis=-1)
+                return x
+
+        x = jnp.asarray(rng.standard_normal((2, 23, 12)), jnp.float32)
+        old = _OldCPEABody(hidden_size=16)
+        new = _NewCPEABody(hidden_size=16)
+        params = old.init(jax.random.PRNGKey(0), x)
+        # identical param trees → the same checkpoint loads either way
+        new_tree = jax.tree.structure(new.init(jax.random.PRNGKey(0), x))
+        assert jax.tree.structure(params) == new_tree
+        y_old = old.apply(params, x)
+        y_new = new.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_old), np.asarray(y_new),
+                                   atol=2e-6)
+
+
 class TestMSA:
     def test_bounded_polar_mask(self, rng):
         msa = MaskSynthesisAgent(latent_dim=32, cpea_dim=8, d_model=32,
