@@ -94,12 +94,16 @@ class PerceptionAgentMXU(nn.Module):
         x = SincConv1d(out_channels=c_sinc,
                        kernel_size=self.sinc_kernel_size,
                        sample_rate=self.sample_rate,
-                       name="sinc")(waveform)            # (B, C, N)
-        x = jnp.swapaxes(x, 1, 2)                        # (B, N, C)
+                       channels_last=True,
+                       name="sinc")(waveform)            # (B, N, C)
         b, n, c = x.shape
         t = n // hop                                     # frames (== N/80)
 
-        # ── envelope stream: rectify → 1 kHz → compress ────────────────
+        # ── envelope stream: rectify → 1 kHz → compress. XLA fuses this
+        # well; a Pallas kernel fusing act+envelope into one HBM pass
+        # (ops/envact_pallas.py) measured 12 ms SLOWER at these shapes
+        # (C=64 = half the 128-lane VPU width) — kept as a documented
+        # negative result, not wired (docs/PERF.md round-3c). ────────────
         pool = self.env_pool
         env = jnp.abs(x)[:, :t * hop]
         env = env.reshape(b, (t * hop) // pool, pool, c).mean(axis=2)

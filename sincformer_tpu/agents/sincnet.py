@@ -41,6 +41,9 @@ class SincConv1d(nn.Module):
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
     stride: int = 1
+    channels_last: bool = False   # emit (B, T, C) straight from the conv —
+                                  # saves a 0.5 GB/batch transpose pass for
+                                  # consumers in channels-last layout
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
@@ -85,5 +88,6 @@ class SincConv1d(nn.Module):
             waveform, kernel[:, None, :].astype(waveform.dtype),
             window_strides=(self.stride,),
             padding=[(k // 2, k // 2)],
-            dimension_numbers=("NCW", "OIW", "NCW"))
-        return y                                                   # (B,C,T)
+            dimension_numbers=("NCW", "OIW",
+                               "NWC" if self.channels_last else "NCW"))
+        return y                                        # (B,C,T) | (B,T,C)

@@ -65,9 +65,18 @@ class StreamingEnhancer:
         if batch_fn is None:
             return np.stack([self.pipeline.enhance_signal(c)
                              for c in chunks])
+        n = len(chunks)
+        if n > self.chunk_batch and n % self.chunk_batch:
+            # pad the tail group up to chunk_batch: every group then shares
+            # ONE compiled (chunk_batch, window) shape — a ragged tail batch
+            # otherwise costs a fresh XLA compile per distinct file length
+            # (seconds through the remote-TPU tunnel vs ms of wasted rows)
+            pad = self.chunk_batch - n % self.chunk_batch
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad, chunks.shape[1]), chunks.dtype)])
         outs = [np.asarray(batch_fn(chunks[i:i + self.chunk_batch]))
                 for i in range(0, len(chunks), self.chunk_batch)]
-        return np.concatenate(outs, axis=0)
+        return np.concatenate(outs, axis=0)[:n]
 
     # ── public API ──────────────────────────────────────────────────────
 
