@@ -72,6 +72,7 @@ class SincformerMetacog(nn.Module):
     attn_impl: str = "xla"   # threaded into every ConformerBlock (MSA)
     pa_impl: str = "mxu"     # "mxu" (frame-rate GEMM encoder, TPU-fast) |
                              # "reference" (stride-2 cascade parity)
+    pa_fine_act: str = "gelu"  # mxu fine-stream activation (gelu | mulaw)
     enable_resample: bool = True
     sample_rate: int = 8000
     sinc_kernel_size: int = 251
@@ -84,10 +85,13 @@ class SincformerMetacog(nn.Module):
                  gumbel_tau: float | jnp.ndarray | None = None
                  ) -> Dict[str, jnp.ndarray]:
         # ── Perception ───────────────────────────────────────────────────
-        pa_cls = (PerceptionAgentMXU if self.pa_impl == "mxu"
-                  else PerceptionAgent)
-        pa = pa_cls(self.encoder_channels, self.sample_rate,
-                    self.sinc_kernel_size, self.hop, name="pa")
+        if self.pa_impl == "mxu":
+            pa = PerceptionAgentMXU(self.encoder_channels, self.sample_rate,
+                                    self.sinc_kernel_size, self.hop,
+                                    fine_act=self.pa_fine_act, name="pa")
+        else:
+            pa = PerceptionAgent(self.encoder_channels, self.sample_rate,
+                                 self.sinc_kernel_size, self.hop, name="pa")
         z_real, z_imag, sigma = pa(waveform)          # (B, D, T'), (B,1,T')
 
         # align latent frames to the STFT grid (T = N//hop + 1, T' = N//hop)

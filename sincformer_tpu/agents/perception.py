@@ -84,6 +84,9 @@ class PerceptionAgentMXU(nn.Module):
     align_hop: int = 80           # latent hop == STFT hop
     num_blocks: int = 3
     env_pool: int = 8             # envelope stream decimation (8 kHz → 1 kHz)
+    fine_act: str = "gelu"        # fine-stream activation: "gelu" (v2) |
+                                  # "mulaw" (sign-preserving compressive —
+                                  # round-3 SSNR ablation, RESULTS.md)
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray
@@ -111,11 +114,23 @@ class PerceptionAgentMXU(nn.Module):
         ehop = hop // pool                               # 10 frames @1 kHz
         echunks = env.reshape(b, t, ehop * c)            # (B, T, 10·C)
 
-        # ── fine stream: cheap learned per-channel scale + GELU at sample
-        # rate (fuses into the conv epilogue; the old whole-sequence
-        # GroupNorm at 8 kHz cost 3.2 ms of HBM traffic) ────────────────
+        # ── fine stream: cheap learned per-channel elementwise activation
+        # at sample rate (fuses into the conv epilogue; the old whole-
+        # sequence GroupNorm at 8 kHz cost 3.2 ms of HBM traffic) ────────
         scale = self.param("act_scale", nn.initializers.ones, (c_sinc,))
-        x = nn.gelu(x * scale)
+        if self.fine_act == "mulaw":
+            # sign-preserving compressive companding: boosts quiet-frame
+            # fine structure into the embed GEMM's representation range
+            # (the v2 run's remaining deficit was segmental SNR growing
+            # with input SNR — a residual fine-structure floor in clean
+            # conditions). μ is per-channel, softplus-positive.
+            mu_raw = self.param("act_mu",
+                                nn.initializers.constant(1.0), (c_sinc,))
+            mu = nn.softplus(mu_raw) + 1e-4
+            z = x * scale
+            x = jnp.sign(z) * jnp.log1p(mu * jnp.abs(z))
+        else:
+            x = nn.gelu(x * scale)
 
         # overlapping patchify onto the STFT grid: the hop-sized chunk
         # reshape is a free view; the 4·hop (40 ms) window [(j-1)·hop,

@@ -226,6 +226,12 @@ class AgentConfig:
     # (round-3 TPU reformulation, agents/perception.py::PerceptionAgentMXU);
     # "reference" = the stride-2 cascade parity path
     pa_impl: str = "mxu"
+    # mxu fine-stream activation ("mulaw" | "gelu"); μ-law companding won
+    # the round-3 SSNR ablation outright (beats every metric of the
+    # reference-PA configuration — RESULTS.md). Env-overridable.
+    pa_fine_act: str = field(
+        default_factory=lambda: os.environ.get(
+            "SINCFORMER_PA_FINE_ACT", "mulaw"))
 
 
 @dataclass(frozen=True)

@@ -57,7 +57,8 @@ def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
               # MSA's ConformerBlocks follow the global attention default
               # (the Pallas speech kernel on TPU, docs/PERF.md)
               attn_impl=cfg.DEFAULT.conformer.attn_impl,
-              pa_impl=agcfg.pa_impl)
+              pa_impl=agcfg.pa_impl,
+              pa_fine_act=agcfg.pa_fine_act)
     kw.update(overrides)
     return SincformerMetacog(**kw)
 
@@ -94,6 +95,23 @@ def _checkpoint_pa_impl(path: str) -> str | None:
         return "mxu"
     if "downsample" in keys:
         return "reference"
+    return None
+
+
+def _checkpoint_pa_fine_act(path: str) -> str | None:
+    """Which mxu fine-stream activation a checkpoint was trained with
+    ("mulaw" checkpoints carry the per-channel act_mu parameter)."""
+    try:
+        import orbax.checkpoint as ocp
+        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        tree = getattr(meta, "item_metadata", meta)
+        keys = set(tree["params"]["pa"].keys())
+    except Exception:
+        return None
+    if "act_mu" in keys:
+        return "mulaw"
+    if "act_scale" in keys:
+        return "gelu"
     return None
 
 
@@ -496,6 +514,9 @@ class SincformerPipeline:
             pa = _checkpoint_pa_impl(path)
             if pa and pa != self.model.pa_impl:
                 overrides["pa_impl"] = pa
+            fa = _checkpoint_pa_fine_act(path)
+            if fa and fa != self.model.pa_fine_act:
+                overrides["pa_fine_act"] = fa
             if overrides:
                 self.model = default_metacog(self.acfg, **overrides)
             self.init_state(epochs=1, steps_per_epoch=1)

@@ -88,6 +88,20 @@ class TestPerceptionAgentMXU:
         assert float(jnp.sum(jnp.abs(sinc_g["low_hz"]))) > 0
         assert float(jnp.sum(jnp.abs(sinc_g["band_hz"]))) > 0
 
+    def test_mulaw_fine_act(self, rng):
+        """μ-law companding path (the shipped round-3 default): finite,
+        sign-preserving pre-embed, gradients reach μ, and the param tree
+        self-describes the activation (act_mu) for checkpoint autodetect."""
+        from sincformer_tpu.agents.perception import PerceptionAgentMXU
+        pa = PerceptionAgentMXU(encoder_channels=64, fine_act="mulaw")
+        x = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
+        params = pa.init(jax.random.PRNGKey(0), x)
+        assert "act_mu" in params["params"]
+        z_r, _, sigma = pa.apply(params, x)
+        assert bool(jnp.all(jnp.isfinite(z_r))) and bool(jnp.all(sigma > 0))
+        g = jax.grad(lambda p: jnp.sum(pa.apply(p, x)[0] ** 2))(params)
+        assert float(jnp.sum(jnp.abs(g["params"]["act_mu"]))) > 0
+
     def test_metacog_runs_with_both_pa_impls(self, rng):
         from sincformer_tpu.train.agent_trainer import default_metacog
         n = 4000
