@@ -209,7 +209,8 @@ def evaluate(args):
     run_grid_evaluation(max_eval=getattr(args, "max_eval", 50),
                         model_dir=cfg.DEFAULT.data.model_dir,
                         distributed=getattr(args, "distributed", False),
-                        use_mesh=getattr(args, "mesh", False))
+                        use_mesh=getattr(args, "mesh", False),
+                        synth_noises=getattr(args, "synth_noises", "white"))
 
 
 def enhance(args):
@@ -355,6 +356,12 @@ def main(argv=None):
     ep.add_argument("--distributed", action="store_true",
                     help="multi-host grid partition (JAX_COORDINATOR / "
                          "JAX_NUM_PROCESSES / JAX_PROCESS_ID env)")
+    ep.add_argument("--synth-noises", default="white",
+                    choices=["white", "multi"], dest="synth_noises",
+                    help="no-NOISEX fallback: 'white' (recorded protocol) "
+                         "or 'multi' (4-class synthetic bank matching the "
+                         "reference's babble/white/factory1/destroyerengine "
+                         "grid)")
 
     enp = sub.add_parser("enhance", help="Enhance WAV file(s)")
     enp.add_argument("input", nargs="+", help="Input WAV path(s)")

@@ -46,10 +46,16 @@ def find_speech_files(timit_dir: str | None = None,
 
 def load_noise_signals(fs: int | None = None,
                        noisex_dir: str | None = None,
-                       synth_fallback: bool = True,
+                       synth_fallback: bool | str = True,
                        seed: int | None = 0) -> Dict[str, np.ndarray]:
-    """Load the NOISEX-92 noise bank; white-noise fallback when absent
-    (reference conformer_pipeline.py:356-369)."""
+    """Load the NOISEX-92 noise bank; synthetic fallback when absent
+    (reference conformer_pipeline.py:356-369).
+
+    synth_fallback: False → no fallback; True / "white" → white noise
+    (the reference's own fallback and this repo's recorded training/eval
+    protocol); "multi" → the 4-class synthetic bank
+    (data/synthetic.py::synthetic_noise_bank) so the reference's full
+    4-noise × 4-SNR grid protocol runs without the corpus."""
     dcfg = cfg.DEFAULT.data
     fs = fs or cfg.DEFAULT.audio.sample_rate
     noisex_dir = noisex_dir or dcfg.noisex_dir
@@ -62,9 +68,13 @@ def load_noise_signals(fs: int | None = None,
             except Exception:
                 pass
     if not noises and synth_fallback:
-        rng = np.random.default_rng(seed)
-        noises["white"] = (rng.standard_normal(fs * 30) * 0.3
-                           ).astype(np.float32)
+        if synth_fallback == "multi":
+            from sincformer_tpu.data.synthetic import synthetic_noise_bank
+            noises = synthetic_noise_bank(fs * 30, seed)
+        else:
+            rng = np.random.default_rng(seed)
+            noises["white"] = (rng.standard_normal(fs * 30) * 0.3
+                               ).astype(np.float32)
     return noises
 
 

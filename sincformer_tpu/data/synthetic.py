@@ -31,3 +31,76 @@ def synthetic_noise(num_samples: int, scale: float = 0.3,
     """White noise (reference main.py:66 / pipeline fallback noise)."""
     rng = np.random.default_rng(seed)
     return (rng.standard_normal(num_samples) * scale).astype(np.float32)
+
+
+def _shaped_noise(num_samples: int, alpha: float, rng) -> np.ndarray:
+    """Gaussian noise with a 1/f^alpha magnitude envelope (FFT shaping)."""
+    fs = cfg.DEFAULT.audio.sample_rate
+    spec = np.fft.rfft(rng.standard_normal(num_samples))
+    f = np.fft.rfftfreq(num_samples, 1.0 / fs)
+    shape = 1.0 / np.maximum(f, 1.0) ** alpha
+    out = np.fft.irfft(spec * shape, num_samples)
+    return (out / (np.std(out) + 1e-8)).astype(np.float32)
+
+
+def synthetic_noise_bank(num_samples: int, seed: int | None = 0
+                         ) -> dict:
+    """Seedable stand-ins for the reference's 4-type NOISEX grid
+    (config.py noise_types: babble/white/factory1/destroyerengine) so the
+    full 4-noise x 4-SNR evaluation protocol runs without the corpus:
+
+      * white            — flat Gaussian
+      * babble           — 8 overlapped speech-like streams (randomized
+                           formants + syllabic 2-5 Hz envelopes)
+      * factory1         — pink-ish broadband + 50 Hz machinery harmonics
+                           + Poisson impact bursts
+      * destroyerengine  — low-frequency engine harmonics (~35 Hz
+                           fundamental) + broadband hiss
+
+    These match the noise CLASSES (spectral shape / modulation character),
+    not the NOISEX recordings — scores on them are self-consistent across
+    methods but not comparable to published NOISEX numbers.
+    """
+    fs = cfg.DEFAULT.audio.sample_rate
+    rng = np.random.default_rng(seed)
+    bank = {"white": (rng.standard_normal(num_samples) * 0.3
+                      ).astype(np.float32)}
+
+    # babble: overlapped randomized talkers
+    t = np.arange(num_samples) / fs
+    babble = np.zeros(num_samples, np.float32)
+    for _ in range(8):
+        f0 = rng.uniform(120, 300)
+        talker = np.zeros(num_samples, np.float32)
+        for k, amp in enumerate((0.5, 0.3, 0.2, 0.12), start=1):
+            talker += amp * np.sin(
+                2 * np.pi * (f0 * k * rng.uniform(0.9, 1.1)) * t
+                + rng.uniform(0, 2 * np.pi)).astype(np.float32)
+        env = np.abs(np.sin(2 * np.pi * rng.uniform(2.0, 5.0) * t
+                            + rng.uniform(0, 2 * np.pi))) ** 0.7
+        babble += talker * env.astype(np.float32)
+    bank["babble"] = (0.3 * babble / (np.std(babble) + 1e-8)
+                      ).astype(np.float32)
+
+    # factory1: broadband + mains-harmonic hum + impact bursts
+    fac = 0.6 * _shaped_noise(num_samples, 0.5, rng)
+    for k, amp in ((1, 0.4), (2, 0.25), (3, 0.15)):
+        fac += amp * np.sin(2 * np.pi * 50 * k * t
+                            + rng.uniform(0, 2 * np.pi))
+    n_hits = max(1, int(num_samples / fs * 3))
+    for pos in rng.integers(0, max(1, num_samples - fs // 8), n_hits):
+        length = int(fs * 0.03)
+        burst = (rng.standard_normal(length)
+                 * np.exp(-np.arange(length) / (fs * 0.008)))
+        fac[pos:pos + length] += 2.5 * burst[:len(fac[pos:pos + length])]
+    bank["factory1"] = (0.3 * fac / (np.std(fac) + 1e-8)).astype(np.float32)
+
+    # destroyerengine: strong LF periodicity + hiss
+    eng = 0.35 * _shaped_noise(num_samples, 0.3, rng)
+    f0 = 35.0
+    for k, amp in ((1, 0.6), (2, 0.45), (3, 0.3), (4, 0.2), (6, 0.12)):
+        eng += amp * np.sin(2 * np.pi * f0 * k * t
+                            + rng.uniform(0, 2 * np.pi))
+    bank["destroyerengine"] = (0.3 * eng / (np.std(eng) + 1e-8)
+                               ).astype(np.float32)
+    return bank

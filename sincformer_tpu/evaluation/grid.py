@@ -337,7 +337,8 @@ def print_grid_tables(results: Dict, snr_levels: Sequence[float],
 def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
                         metrics: Sequence[str] = METRICS,
                         distributed: bool = False,
-                        use_mesh: bool = False):
+                        use_mesh: bool = False,
+                        synth_noises: str = "white"):
     """CLI entry: discover models + data, evaluate, print tables.
 
     ``use_mesh`` shards the metric sweep over all local devices (the
@@ -380,7 +381,7 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
         clean_signals = [synthetic_speech(2.0) * (0.7 + 0.6 * rng.random())
                          for _ in range(min(max_eval, 8))]
 
-    noises = load_noise_signals(fs)
+    noises = load_noise_signals(fs, synth_fallback=synth_noises)
     snr_levels = list(cfg.DEFAULT.data.snr_levels)
     print(f"\n  Evaluating {len(clean_signals)} utterances × "
           f"{len(noises)} noises × {len(snr_levels)} SNRs")
