@@ -81,15 +81,25 @@ class StreamingEnhancer:
     # ── public API ──────────────────────────────────────────────────────
 
     def enhance(self, noisy: np.ndarray) -> np.ndarray:
-        """Enhance arbitrary-length audio with constant device footprint."""
-        noisy = np.asarray(noisy, np.float32)
+        """Enhance arbitrary-length audio with constant device footprint.
+
+        int16 input is forwarded to the device AS int16 (half the wire
+        bytes of float32 — audio's native PCM format) and dequantized
+        inside the pipelines' jitted programs (utils/signal.pcm_to_float);
+        output is always float32 in [-1, 1].
+        """
+        noisy = np.asarray(noisy)
+        wire = np.int16 if noisy.dtype == np.int16 else np.float32
+        noisy = noisy.astype(wire)
         n = len(noisy)
         if n <= self.window:
-            return self.pipeline.enhance_signal(noisy)
+            return self.pipeline.enhance_signal(
+                noisy.astype(np.float32) / 32768.0
+                if wire == np.int16 else noisy)
 
         hop = self.window - self.overlap
         starts = list(range(0, n, hop))
-        chunks = np.zeros((len(starts), self.window), np.float32)
+        chunks = np.zeros((len(starts), self.window), wire)
         for c, start in enumerate(starts):
             seg = noisy[start:start + self.window]
             chunks[c, :len(seg)] = seg

@@ -533,6 +533,8 @@ class SincformerPipeline:
 
             @jax.jit
             def fn(params, model_state, wav):
+                from sincformer_tpu.utils.signal import pcm_to_float
+                wav = pcm_to_float(wav)     # int16 PCM wire → f32 on device
                 spec = stft(wav, n_fft, hop, frame)
                 out = model.apply({"params": params, **model_state},
                                   wav, spec.real, spec.imag, train=False)
@@ -560,7 +562,9 @@ class SincformerPipeline:
         evaluator's one-call-per-cell fast path for the flagship."""
         if self.state is None:
             raise RuntimeError("No model loaded.")
-        noisy = np.asarray(noisy, np.float32)
+        noisy = np.asarray(noisy)
+        if noisy.dtype != np.int16:          # int16 PCM rides the wire raw
+            noisy = noisy.astype(np.float32)
         out = self._enhance_fn(noisy.shape[-1])(self.state.params,
                                                 self.state.model_state,
                                                 jnp.asarray(noisy))

@@ -319,6 +319,8 @@ class DCSEPipeline:
 
             @jax.jit
             def fn(variables, wav):
+                from sincformer_tpu.utils.signal import pcm_to_float
+                wav = pcm_to_float(wav)     # int16 PCM wire → f32 on device
                 spec = stft(wav, n_fft, hop, frame)
                 er, ei, _ = model.apply(variables, spec.real, spec.imag,
                                         deterministic=True)

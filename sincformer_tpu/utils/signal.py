@@ -175,3 +175,18 @@ def hilbert_envelope(x: jnp.ndarray) -> jnp.ndarray:
         h[1:(n + 1) // 2] = 2.0
     analytic = jnp.fft.ifft(spec * jnp.asarray(h), axis=-1)
     return jnp.abs(analytic)
+
+
+def pcm_to_float(wav: jnp.ndarray) -> jnp.ndarray:
+    """Dequantize an int16 PCM wire tensor to float32 on DEVICE (trace-time
+    dtype dispatch — a no-op for float input).
+
+    Serving transfers audio to the accelerator as raw int16 PCM (its
+    native container format) and dequantizes inside the jitted program:
+    half the host→device bytes of float32, exact for PCM-sourced audio.
+    Used by every pipeline's enhance path; StreamingEnhancer forwards
+    int16 input through untouched.
+    """
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) * (1.0 / 32768.0)
+    return wav

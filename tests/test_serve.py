@@ -172,3 +172,40 @@ class TestBatchedServing:
         for s, o in zip(sigs, outs):
             np.testing.assert_allclose(o, s * 0.5)
         assert len(pipe.calls) == 3
+
+
+class TestInt16Wire:
+    """int16 PCM wire format: half the host→device bytes, dequantized
+    inside the jitted enhance programs (utils/signal.pcm_to_float)."""
+
+    def test_dcse_enhance_batch_int16_parity(self, rng, tmp_path):
+        from sincformer_tpu.data import synthetic_noise, synthetic_speech
+        from sincformer_tpu.data.loader import WaveformDataset
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+
+        model = SpeechEnhancer(n_freq=129, d_model=32, num_blocks=1,
+                               num_heads=2, d_ff=64, kernel_size=7,
+                               dropout=0.0)
+        ds = WaveformDataset.from_arrays(
+            [synthetic_speech(0.5)] * 4,
+            {"white": synthetic_noise(8000, seed=0)}, max_len=4000)
+        pipe = DCSEPipeline(model=model, model_dir=str(tmp_path))
+        pipe.train(ds, ds, epochs=1, batch_size=2, verbose=False)
+
+        f = np.stack([synthetic_speech(0.5)[:4000]] * 2)
+        pcm = np.clip(f * 32768.0, -32768, 32767).astype(np.int16)
+        out_pcm = pipe.enhance_batch(pcm)
+        out_f = pipe.enhance_batch(pcm.astype(np.float32) / 32768.0)
+        assert out_pcm.dtype == np.float32
+        np.testing.assert_allclose(out_pcm, out_f, atol=1e-5)
+
+        # streaming path forwards int16 windows through untouched
+        from sincformer_tpu.serve import StreamingEnhancer
+        se = StreamingEnhancer(pipe, window=4000, overlap=400,
+                               chunk_batch=2)
+        long_pcm = np.tile(pcm[0], 4)                       # 16000 samples
+        out_s = se.enhance(long_pcm)
+        out_sf = se.enhance(long_pcm.astype(np.float32) / 32768.0)
+        assert out_s.dtype == np.float32
+        np.testing.assert_allclose(out_s, out_sf, atol=1e-5)
