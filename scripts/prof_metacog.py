@@ -65,9 +65,13 @@ def prof(cpea_impl):
     # components (each wrapped so output feeds back as input where shapes
     # allow; otherwise chain on the same-shaped primary tensor)
     from sincformer_tpu.agents.perception import PerceptionAgentMXU
-    pa_cls = PerceptionAgentMXU if model.pa_impl == "mxu" else PerceptionAgent
-    pa = pa_cls(model.encoder_channels, model.sample_rate,
-                model.sinc_kernel_size, model.hop)
+    if model.pa_impl == "mxu":
+        pa = PerceptionAgentMXU(model.encoder_channels, model.sample_rate,
+                                model.sinc_kernel_size, model.hop,
+                                fine_act=model.pa_fine_act)
+    else:
+        pa = PerceptionAgent(model.encoder_channels, model.sample_rate,
+                             model.sinc_kernel_size, model.hop)
     pa_p = {"params": params["pa"]}
     zr, zi, sg = jax.jit(lambda w: pa.apply(pa_p, w))(wav)
 

@@ -62,7 +62,6 @@ def _lstm_scan(x, w_x, w_h, b, reverse: bool, unroll: int):
     bsz, _, _ = x.shape
     h0 = jnp.zeros((bsz, w_h.shape[0]), x.dtype)
     xp = x @ w_x + b                               # (B, T, 4H)
-    hdim = w_h.shape[0]
 
     def step(carry, xp_t):
         h, c = carry
@@ -74,7 +73,6 @@ def _lstm_scan(x, w_x, w_h, b, reverse: bool, unroll: int):
 
     _, ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xp, 0, 1),
                          reverse=reverse, unroll=unroll)
-    del hdim
     return jnp.swapaxes(ys, 0, 1)                  # (B, T, H), input order
 
 

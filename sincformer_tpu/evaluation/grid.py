@@ -153,8 +153,11 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                 per = mesh.shape["data"]
                 pad = (-len(cb)) % per
                 if pad:
-                    cb = np.concatenate([cb, cb[:pad]])
-                    sb = np.concatenate([sb, sb[:pad]])
+                    # np.resize tiles cyclically — a single cb[:pad] slice
+                    # can't reach divisibility when pad > len(cb) (e.g. a
+                    # 3-utterance bucket on an 8-device mesh)
+                    cb = np.resize(cb, (len(cb) + pad,) + cb.shape[1:])
+                    sb = np.resize(sb, (len(sb) + pad,) + sb.shape[1:])
                 cb = jax.device_put(cb, sh)
                 sb = jax.device_put(sb, sh)
             vals = metrics_batch(cb, sb, metrics)
@@ -353,6 +356,12 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
     print("  Speech Enhancement — Full Multi-Noise Evaluation (5 metrics)")
     print("=" * 70)
 
+    if distributed:
+        # jax.distributed.initialize MUST run before anything touches the
+        # XLA backend — discover_pipelines below restores checkpoints
+        from sincformer_tpu.parallel.distributed import init_distributed
+        init_distributed()
+
     pipelines = discover_pipelines(model_dir)
     if not pipelines:
         print("\n  No trained models found! Train first with:")
@@ -400,9 +409,6 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
                   "running unsharded")
     if distributed:
         import jax
-
-        from sincformer_tpu.parallel.distributed import init_distributed
-        init_distributed()
         print(f"  Distributed grid: process {jax.process_index()} of "
               f"{jax.process_count()}")
         results = evaluate_grid_distributed(

@@ -66,11 +66,12 @@ class StreamingEnhancer:
             return np.stack([self.pipeline.enhance_signal(c)
                              for c in chunks])
         n = len(chunks)
-        if n > self.chunk_batch and n % self.chunk_batch:
-            # pad the tail group up to chunk_batch: every group then shares
-            # ONE compiled (chunk_batch, window) shape — a ragged tail batch
-            # otherwise costs a fresh XLA compile per distinct file length
-            # (seconds through the remote-TPU tunnel vs ms of wasted rows)
+        if n % self.chunk_batch:
+            # pad EVERY ragged group up to chunk_batch: all files then share
+            # ONE compiled (chunk_batch, window) shape — a ragged batch
+            # otherwise costs a fresh XLA compile per distinct window count
+            # (seconds through the remote-TPU tunnel vs ms of wasted rows;
+            # this applies to short files too, where n < chunk_batch)
             pad = self.chunk_batch - n % self.chunk_batch
             chunks = np.concatenate(
                 [chunks, np.zeros((pad, chunks.shape[1]), chunks.dtype)])

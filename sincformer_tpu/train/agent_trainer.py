@@ -63,20 +63,33 @@ def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
     return SincformerMetacog(**kw)
 
 
-def _checkpoint_cpea_impl(path: str) -> str | None:
-    """Read which CPEA sequence mixer ("lstm" | "ssm") a sincformer
-    checkpoint was trained with, from the orbax param-tree metadata
-    (cheap: no tensor data is loaded)."""
+def _checkpoint_module_keys(path: str, module: str) -> set | None:
+    """Top-level param names of ``module`` from the orbax metadata (cheap:
+    no tensor data). Quantized serving checkpoints store the tree under
+    "params_q" (same nesting, {"q","s"} leaves) — check both, so variant
+    autodetect works for int8 checkpoints too."""
     try:
         import orbax.checkpoint as ocp
         meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
         tree = getattr(meta, "item_metadata", meta)
-        keys = set(tree["params"]["cpea"].keys())
+        try:
+            params = tree["params"]
+        except Exception:
+            params = tree["params_q"]
+        return set(params[module].keys())
     except Exception:
+        return None
+
+
+def _checkpoint_cpea_impl(path: str) -> str | None:
+    """Read which CPEA sequence mixer ("lstm" | "ssm") a sincformer
+    checkpoint was trained with, from the orbax param-tree metadata."""
+    keys = _checkpoint_module_keys(path, "cpea")
+    if keys is None:
         return None
     if "bilru" in keys:
         return "ssm"
-    if any(k.startswith("bilstm") or "lstm" in k for k in keys):
+    if any(k.startswith("bilstm") or "lstm" in k.lower() for k in keys):
         return "lstm"
     return None
 
@@ -84,12 +97,8 @@ def _checkpoint_cpea_impl(path: str) -> str | None:
 def _checkpoint_pa_impl(path: str) -> str | None:
     """Which PerceptionAgent variant ("mxu" | "reference") a sincformer
     checkpoint was trained with (param-tree metadata only)."""
-    try:
-        import orbax.checkpoint as ocp
-        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
-        tree = getattr(meta, "item_metadata", meta)
-        keys = set(tree["params"]["pa"].keys())
-    except Exception:
+    keys = _checkpoint_module_keys(path, "pa")
+    if keys is None:
         return None
     if "embed" in keys:
         return "mxu"
@@ -101,12 +110,8 @@ def _checkpoint_pa_impl(path: str) -> str | None:
 def _checkpoint_pa_fine_act(path: str) -> str | None:
     """Which mxu fine-stream activation a checkpoint was trained with
     ("mulaw" checkpoints carry the per-channel act_mu parameter)."""
-    try:
-        import orbax.checkpoint as ocp
-        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
-        tree = getattr(meta, "item_metadata", meta)
-        keys = set(tree["params"]["pa"].keys())
-    except Exception:
+    keys = _checkpoint_module_keys(path, "pa")
+    if keys is None:
         return None
     if "act_mu" in keys:
         return "mulaw"
@@ -518,7 +523,11 @@ class SincformerPipeline:
             if fa and fa != self.model.pa_fine_act:
                 overrides["pa_fine_act"] = fa
             if overrides:
-                self.model = default_metacog(self.acfg, **overrides)
+                # clone() keeps THIS model's hyperparameters (sizes may be
+                # non-default) and flips only the checkpoint-detected
+                # fields — rebuilding via default_metacog here silently
+                # reset every dim to the config defaults
+                self.model = self.model.clone(**overrides)
             self.init_state(epochs=1, steps_per_epoch=1)
         self.state = restore_checkpoint(path, self.state)
         return path

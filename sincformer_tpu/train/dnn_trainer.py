@@ -579,7 +579,9 @@ class DNNPipeline:
         the reconstruction matches the unpadded formula exactly."""
         if self.state is None:
             raise RuntimeError("No model loaded. Call load_model() first.")
-        noisy = np.asarray(noisy_signal, np.float32)
+        noisy = np.asarray(noisy_signal)
+        noisy = (noisy.astype(np.float32) / 32768.0
+                 if noisy.dtype == np.int16 else noisy.astype(np.float32))
         n_true = len(noisy)
         n_pad = int(np.ceil(n_true / pad_quantum) * pad_quantum)
         t_true = (n_true - self.acfg.frame_size) // self.acfg.hop_size + 1
@@ -600,7 +602,11 @@ class DNNPipeline:
         program vmapped over the batch (enables the grid fast path)."""
         if self.state is None:
             raise RuntimeError("No model loaded. Call load_model() first.")
-        noisy = np.asarray(noisy, np.float32)
+        noisy = np.asarray(noisy)
+        if noisy.dtype == np.int16:      # PCM wire input (serve.py int16
+            noisy = noisy.astype(np.float32) / 32768.0  # path) → [-1, 1]
+        else:
+            noisy = noisy.astype(np.float32)
         b, n = noisy.shape
         t_true = (n - self.acfg.frame_size) // self.acfg.hop_size + 1
         mean = (self.feat_mean if self.feat_mean is not None

@@ -85,14 +85,18 @@ class TestGridPaths:
 
 class TestMeshGrid:
     def test_sharded_metric_sweep(self):
-        """Batched grid over a 4-device CPU mesh == single-device result."""
+        """Batched grid over an 8-device CPU mesh == single-device result.
+
+        3 utterances on 8 devices forces pad (5) > bucket size (3) — the
+        cyclic-tiling case a single cb[:pad] slice could not satisfy
+        (round-3 review finding)."""
         import jax
         from sincformer_tpu.parallel import make_mesh
 
         clean = [synthetic_speech(1.0) * s for s in (1.0, 0.9, 0.8)]
         noises = {"white": synthetic_noise(8000, seed=0)}
         pipes = {"ident": _IdentityPipe()}
-        mesh = make_mesh(devices=jax.devices("cpu")[:4],
+        mesh = make_mesh(devices=jax.devices("cpu")[:8],
                          axis_names=("data",))
         plain = evaluate_grid(clean, noises, pipes, snr_levels=[0],
                               verbose=False, batched=True)

@@ -78,3 +78,34 @@ class TestQuantizedCheckpoint:
         pipe2.load_model(path)
         out = pipe2.enhance_signal(x)
         np.testing.assert_allclose(out, ref_out, atol=1e-6)
+
+
+class TestQuantizedVariantAutodetect:
+    def test_sincformer_int8_nondefault_variant_restores(self, tmp_path):
+        """Variant sniffers must read quantized trees too (params_q) so an
+        int8 checkpoint of a non-default PA/CPEA restores into the right
+        skeleton without the caller knowing how it was trained."""
+        from sincformer_tpu.train.agent_trainer import (
+            SincformerPipeline, _checkpoint_pa_fine_act, _checkpoint_pa_impl,
+            default_metacog)
+        model = default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64,
+            kernel_size=7, dropout=0.0, memory_slots=4,
+            sinc_kernel_size=65, pa_impl="mxu", pa_fine_act="gelu")
+        pipe = SincformerPipeline(model=model, model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=4000)
+        path = pipe.save_model("q", quantize=True)
+        assert _checkpoint_pa_impl(path) == "mxu"
+        assert _checkpoint_pa_fine_act(path) == "gelu"
+
+        pipe2 = SincformerPipeline(
+            model=default_metacog(
+                encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+                d_model=32, msa_blocks=1, num_heads=2, d_ff=64,
+                kernel_size=7, dropout=0.0, memory_slots=4,
+                sinc_kernel_size=65, pa_impl="mxu", pa_fine_act="mulaw"),
+            model_dir=str(tmp_path))
+        # load_model must flip the skeleton to the checkpoint's fine_act
+        pipe2.load_model(path)
+        assert pipe2.model.pa_fine_act == "gelu"
