@@ -209,3 +209,20 @@ class TestInt16Wire:
         out_sf = se.enhance(long_pcm.astype(np.float32) / 32768.0)
         assert out_s.dtype == np.float32
         np.testing.assert_allclose(out_s, out_sf, atol=1e-5)
+
+    def test_sincformer_enhance_batch_int16_parity(self, tmp_path):
+        from sincformer_tpu.train.agent_trainer import (SincformerPipeline,
+                                                        default_metacog)
+        model = default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64,
+            kernel_size=7, dropout=0.0, memory_slots=4,
+            sinc_kernel_size=65)
+        pipe = SincformerPipeline(model=model, model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=4000)
+        from sincformer_tpu.data import synthetic_speech
+        f = np.stack([synthetic_speech(0.5)[:4000]] * 2)
+        pcm = np.clip(f * 32768.0, -32768, 32767).astype(np.int16)
+        out_pcm = pipe.enhance_batch(pcm)
+        out_f = pipe.enhance_batch(pcm.astype(np.float32) / 32768.0)
+        np.testing.assert_allclose(out_pcm, out_f, atol=1e-5)
