@@ -166,7 +166,8 @@ def train(args):
         pipe = SincformerPipeline(
             model=model,
             use_adversarial=getattr(args, "adversarial", False))
-        pipe.train(clean_tr, clean_te, noises, epochs=args.epochs)
+        pipe.train(clean_tr, clean_te, noises, epochs=args.epochs,
+                   resume=getattr(args, "resume", False))
         pipe.save_model()
     else:
         from sincformer_tpu.train.dnn_trainer import DNNPipeline
@@ -340,6 +341,10 @@ def main(argv=None):
     tp.add_argument("--cpea", default="lstm", choices=["lstm", "ssm"],
                     help="CPEA sequence mixer: 'lstm' (reference parity) or"
                          " 'ssm' (bidirectional LRU, ~16%% faster steps)")
+    tp.add_argument("--resume", action="store_true",
+                    help="agents pipeline: restore the newest checkpoint "
+                         "(full train state) and continue from the epoch "
+                         "after it was saved")
     tp.add_argument("--adversarial", action="store_true",
                     help="Enable the 3-scale adversarial loss in curriculum "
                          "stage 3 (agents pipeline only)")

@@ -379,11 +379,40 @@ class SincformerPipeline:
               noises: Dict[str, np.ndarray],
               epochs: int | None = None, batch_size: int = 8,
               max_len: int | None = None, verbose: bool = True,
-              use_curriculum: bool = True) -> List[dict]:
-        """Curriculum training from raw clean sources."""
+              use_curriculum: bool = True,
+              resume: bool = False) -> List[dict]:
+        """Curriculum training from raw clean sources.
+
+        ``resume=True`` restores the newest checkpoint (full train state:
+        params + optimizer + step — train/state.py) and continues from the
+        epoch after the one it was saved at, with the curriculum stage and
+        LR-schedule position derived from the restored step counter. The
+        reference cannot resume at all (its checkpoints carry no optimizer
+        state, SURVEY §5)."""
         max_len = max_len or int(self.fs * cfg.DEFAULT.data.max_wave_seconds)
         epochs = epochs or self.curriculum.total_epochs
         steps_per_epoch = max(1, len(clean_train) // batch_size)
+        start_epoch = 0
+        if resume:
+            try:
+                # build the optimizer with THIS run's LR schedule before
+                # restoring (load_model on a fresh pipeline would otherwise
+                # init a 1-epoch schedule that the restored opt_state then
+                # runs under)
+                if self.state is None:
+                    self.init_state(epochs, steps_per_epoch,
+                                    example_len=max_len)
+                path = self.load_model()
+                start_epoch = min(int(self.state.step) // steps_per_epoch,
+                                  epochs)
+                if verbose:
+                    print(f"  Resuming from {path} at step "
+                          f"{int(self.state.step)} → epoch "
+                          f"{start_epoch + 1}/{epochs}")
+            except FileNotFoundError:
+                if verbose:
+                    print("  --resume requested but no checkpoint found — "
+                          "starting fresh")
         if self.state is None:
             self.init_state(epochs, steps_per_epoch, example_len=max_len)
         train_step = self._make_train_step()
@@ -391,9 +420,23 @@ class SincformerPipeline:
         key = jax.random.PRNGKey(self.seed + 10)
 
         best_val = float("inf")
+        if resume and start_epoch > 0:
+            # seed best_val with the restored model's val loss so the
+            # resumed run can't overwrite best_sincformer with a worse one
+            test_ds = self.remix_for_stage(
+                clean_test, noises, list(cfg.DEFAULT.data.snr_levels),
+                max_len, 0)
+            v = [float(eval_step(self.state, jnp.asarray(b["noisy"]),
+                                 jnp.asarray(b["clean"]))[0])
+                 for b in batch_iterator(test_ds, batch_size, shuffle=False,
+                                         drop_last=False)]
+            finite = [x for x in v if np.isfinite(x)]
+            if finite:
+                best_val = float(np.mean(finite))
+
         history = []
         last_stage = None
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             stage = (self.curriculum.get_stage(epoch) if use_curriculum
                      else {"stage": 0, "snr_levels": list(
                          cfg.DEFAULT.data.snr_levels),

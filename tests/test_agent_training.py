@@ -125,3 +125,54 @@ class TestAdversarialStage:
         assert int(pipe.state.nan_count) == 0
         # discriminator actually trained during stage 3
         assert int(pipe.disc_state.step) > 0
+
+
+class TestResume:
+    def test_resume_continues_from_saved_epoch(self, tmp_path):
+        """Kill-and-resume: a second train(resume=True) picks up at the
+        epoch after the best checkpoint and finishes the curriculum with
+        the stage sequence intact (the reference cannot resume at all —
+        its checkpoints carry no optimizer state, SURVEY §5)."""
+        rng = np.random.default_rng(3)
+        clean = [synthetic_speech(0.5) * (0.7 + 0.6 * rng.random())
+                 for _ in range(8)]
+        noises = {"white": synthetic_noise(8000, seed=5)}
+
+        def fresh_pipe():
+            p = SincformerPipeline(model=tiny_model(),
+                                   model_dir=str(tmp_path))
+            p.curriculum.stage1_epochs = 2
+            p.curriculum.stage2_epochs = 2
+            p.curriculum.stage3_epochs = 2
+            p.curriculum.total_epochs = 6
+            return p
+
+        # "crashed" run: only 3 of 6 epochs
+        pipe = fresh_pipe()
+        hist1 = pipe.train(clean, clean[:2], noises, epochs=3, batch_size=4,
+                           max_len=4000, verbose=False)
+        assert len(hist1) == 3
+        steps_per_epoch = max(1, len(clean) // 4)
+        saved_step = int(pipe.state.step)
+
+        # resumed run in a FRESH pipeline (new process semantics)
+        pipe2 = fresh_pipe()
+        hist2 = pipe2.train(clean, clean[:2], noises, epochs=6,
+                            batch_size=4, max_len=4000, verbose=False,
+                            resume=True)
+        start_epoch = saved_step // steps_per_epoch
+        assert hist2[0]["epoch"] == start_epoch
+        assert hist2[-1]["epoch"] == 5
+        assert hist2[-1]["stage"] == 3
+        assert all(np.isfinite(h["train_loss"]) for h in hist2)
+        # resumed optimizer really continued (step advanced past the save)
+        assert int(pipe2.state.step) > saved_step
+
+    def test_resume_without_checkpoint_starts_fresh(self, tmp_path):
+        clean = [synthetic_speech(0.5)] * 4
+        noises = {"white": synthetic_noise(8000, seed=5)}
+        pipe = SincformerPipeline(model=tiny_model(),
+                                  model_dir=str(tmp_path / "empty"))
+        hist = pipe.train(clean, clean[:1], noises, epochs=1, batch_size=4,
+                          max_len=4000, verbose=False, resume=True)
+        assert len(hist) == 1 and hist[0]["epoch"] == 0
