@@ -131,7 +131,8 @@ def train(args):
         else:
             train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
                                                   max_test=args.max_test)
-        pipe.train(train_ds, test_ds, epochs=args.epochs)
+        pipe.train(train_ds, test_ds, epochs=args.epochs,
+                   resume=getattr(args, "resume", False))
         pipe.save_model()
     elif pipeline_type == "agents":
         from sincformer_tpu import config as cfg
@@ -342,9 +343,9 @@ def main(argv=None):
                     help="CPEA sequence mixer: 'lstm' (reference parity) or"
                          " 'ssm' (bidirectional LRU, ~16%% faster steps)")
     tp.add_argument("--resume", action="store_true",
-                    help="agents pipeline: restore the newest checkpoint "
-                         "(full train state) and continue from the epoch "
-                         "after it was saved")
+                    help="agents/conformer pipelines: restore the newest "
+                         "checkpoint (full train state) and continue from "
+                         "the epoch after it was saved")
     tp.add_argument("--adversarial", action="store_true",
                     help="Enable the 3-scale adversarial loss in curriculum "
                          "stage 3 (agents pipeline only)")

@@ -179,12 +179,35 @@ class DCSEPipeline:
 
     def train(self, train_ds: WaveformDataset, test_ds: WaveformDataset,
               epochs: int | None = None, batch_size: int | None = None,
-              verbose: bool = True, bucketed: bool = False):
-        """Full training run with best-model checkpointing."""
+              verbose: bool = True, bucketed: bool = False,
+              resume: bool = False):
+        """Full training run with best-model checkpointing.
+
+        ``resume=True``: restore the newest checkpoint (full train state —
+        params + optimizer + step) and continue from the epoch after it
+        was saved; best_val is seeded from the restored model's val loss
+        (same mechanism as SincformerPipeline.train)."""
         epochs = epochs or self.dcfg.epochs
         batch_size = batch_size or self.dcfg.batch_size
         steps_per_epoch = max(1, len(train_ds) // batch_size)
 
+        start_epoch = 0
+        if resume:
+            try:
+                if self.state is None:
+                    self.init_state(epochs, steps_per_epoch,
+                                    example_len=train_ds.max_len)
+                path = self.load_model()
+                start_epoch = min(int(self.state.step) // steps_per_epoch,
+                                  epochs)
+                if verbose:
+                    print(f"  Resuming from {path} at step "
+                          f"{int(self.state.step)} → epoch "
+                          f"{start_epoch + 1}/{epochs}")
+            except FileNotFoundError:
+                if verbose:
+                    print("  resume requested but no checkpoint found — "
+                          "starting fresh")
         if self.state is None:
             self.init_state(epochs, steps_per_epoch,
                             example_len=train_ds.max_len)
@@ -193,8 +216,18 @@ class DCSEPipeline:
         key = jax.random.PRNGKey(self.seed + 1)
 
         best_val = float("inf")
+        if resume and start_epoch > 0:
+            v = [float(eval_step(self.state.params, self.state.model_state,
+                                 jnp.asarray(b["noisy"]),
+                                 jnp.asarray(b["clean"]))[0])
+                 for b in batch_iterator(test_ds, batch_size, shuffle=False,
+                                         drop_last=False,
+                                         bucketed=bucketed)]
+            finite = [x for x in v if np.isfinite(x)]
+            if finite:
+                best_val = float(np.mean(finite))
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             # accumulate losses as device scalars — syncing float(loss)
             # every step serialises the loop on the host (severe through a

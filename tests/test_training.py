@@ -150,3 +150,32 @@ class TestCurriculum:
             assert a["snr_levels"] == b["snr_levels"]
             assert a["use_vq"] == b["use_vq"]
             assert a["loss_type"] == b["loss_type"]
+
+
+class TestDCSEResume:
+    def test_kill_and_resume(self, tmp_path):
+        from sincformer_tpu.data import synthetic_noise, synthetic_speech
+        from sincformer_tpu.data.loader import WaveformDataset
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+
+        def fresh():
+            model = SpeechEnhancer(n_freq=129, d_model=32, num_blocks=1,
+                                   num_heads=2, d_ff=64, kernel_size=7,
+                                   dropout=0.0)
+            return DCSEPipeline(model=model, model_dir=str(tmp_path))
+
+        ds = WaveformDataset.from_arrays(
+            [synthetic_speech(0.5)] * 8,
+            {"white": synthetic_noise(8000, seed=0)}, max_len=4000)
+        p1 = fresh()
+        h1 = p1.train(ds, ds, epochs=2, batch_size=4, verbose=False)
+        assert len(h1) == 2
+        saved_step = int(p1.state.step)
+
+        p2 = fresh()
+        h2 = p2.train(ds, ds, epochs=4, batch_size=4, verbose=False,
+                      resume=True)
+        assert h2[0]["epoch"] == saved_step // 2      # steps_per_epoch = 2
+        assert h2[-1]["epoch"] == 3
+        assert int(p2.state.step) > saved_step
