@@ -388,7 +388,9 @@ class SincformerPipeline:
         epoch after the one it was saved at, with the curriculum stage and
         LR-schedule position derived from the restored step counter. The
         reference cannot resume at all (its checkpoints carry no optimizer
-        state, SURVEY §5)."""
+        state, SURVEY §5). Caveat: under ``--adversarial`` the
+        discriminator is NOT checkpointed (it is a training-only aid);
+        a stage-3 resume restarts it from init, which LSGAN tolerates."""
         max_len = max_len or int(self.fs * cfg.DEFAULT.data.max_wave_seconds)
         epochs = epochs or self.curriculum.total_epochs
         steps_per_epoch = max(1, len(clean_train) // batch_size)
