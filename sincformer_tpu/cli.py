@@ -247,14 +247,19 @@ def enhance(args):
     inputs = (args.input if isinstance(args.input, (list, tuple))
               else [args.input])
     se = StreamingEnhancer(pipe)
+
+    def _towav(x):
+        x = np.clip(x, -1.0, 1.0)
+        if getattr(args, "pcm16", False):
+            return (x * 32767.0).astype(np.int16)
+        return x.astype(np.float32)
     if len(inputs) == 1:
         noisy = load_audio(inputs[0], fs)
         print(f"  Input: {inputs[0]} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
         t0 = time.time()
         enhanced = se.enhance(noisy)
         dt = time.time() - t0
-        wavfile.write(args.output, fs,
-                      np.clip(enhanced, -1.0, 1.0).astype(np.float32))
+        wavfile.write(args.output, fs, _towav(enhanced))
         print(f"  Enhanced → {args.output}  ({dt:.2f}s wall, "
               f"{len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
         return
@@ -281,7 +286,7 @@ def enhance(args):
         names.append(base)
     for base, out in zip(names, outs):
         dest = os.path.join(args.output, base)
-        wavfile.write(dest, fs, np.clip(out, -1.0, 1.0).astype(np.float32))
+        wavfile.write(dest, fs, _towav(out))
     print(f"  Enhanced {len(inputs)} files → {args.output}/  "
           f"({dt:.2f}s wall, {total_s / max(dt, 1e-9):.1f}x realtime)")
 
@@ -374,6 +379,8 @@ def main(argv=None):
     enp.add_argument("output", help="Output WAV path (single input) or "
                                     "output directory (multiple inputs, "
                                     "batched on device)")
+    enp.add_argument("--pcm16", action="store_true",
+                     help="write 16-bit PCM WAV output (default: float32)")
     enp.add_argument("--model", default=None,
                      choices=["sincformer", "conformer", "pcirm",
                               "opt_pcirm", "irm"],

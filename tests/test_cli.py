@@ -93,3 +93,26 @@ class TestCLI:
             fs, y = wavfile.read(str(tmp_path / "out" / f"in{i}.wav"))
             fs2, x = wavfile.read(p)
             np.testing.assert_allclose(y, x * 0.5, atol=1e-4)
+
+
+class TestEnhancePcm16:
+    def test_single_file_pcm16_output(self, capsys, tmp_path, monkeypatch,
+                                      rng):
+        from scipy.io import wavfile
+
+        import sincformer_tpu.evaluation.grid as grid_mod
+
+        class IdentPipe:
+            def enhance_signal(self, x):
+                return np.asarray(x, np.float32)
+
+        monkeypatch.setattr(grid_mod, "discover_pipelines",
+                            lambda *a, **k: {"sincformer": IdentPipe()})
+        x = (0.2 * rng.standard_normal(3000)).astype(np.float32)
+        src = str(tmp_path / "in.wav")
+        dst = str(tmp_path / "out.wav")
+        wavfile.write(src, 8000, x)
+        cli.main(["enhance", src, dst, "--pcm16"])
+        fs, y = wavfile.read(dst)
+        assert y.dtype == np.int16
+        np.testing.assert_allclose(y / 32767.0, x, atol=2e-4)
