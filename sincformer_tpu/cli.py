@@ -171,6 +171,11 @@ def train(args):
                    resume=getattr(args, "resume", False))
         pipe.save_model()
     else:
+        if getattr(args, "resume", False):
+            raise SystemExit(
+                "--resume is not supported for --pipeline dnn (its RBM "
+                "pretrain + NaN re-init flow has no resume semantics); "
+                "rerun without --resume")
         from sincformer_tpu.train.dnn_trainer import DNNPipeline
         print("=" * 70)
         print("  Speech Enhancement — DNN Training (TPU)")
@@ -251,7 +256,8 @@ def enhance(args):
     def _towav(x):
         x = np.clip(x, -1.0, 1.0)
         if getattr(args, "pcm16", False):
-            return (x * 32767.0).astype(np.int16)
+            # round-to-nearest: truncation biases every sample toward zero
+            return np.round(x * 32767.0).astype(np.int16)
         return x.astype(np.float32)
     if len(inputs) == 1:
         noisy = load_audio(inputs[0], fs)

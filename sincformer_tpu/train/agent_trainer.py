@@ -37,7 +37,9 @@ from sincformer_tpu.train.losses import (PerceptualSTOILoss, mse_mask_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
                                         latest_step_dir, make_adamw,
-                                        restore_checkpoint, save_checkpoint)
+                                        newest_checkpoint, read_train_meta,
+                                        restore_checkpoint, save_checkpoint,
+                                        write_train_meta)
 
 
 def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
@@ -395,26 +397,31 @@ class SincformerPipeline:
         epochs = epochs or self.curriculum.total_epochs
         steps_per_epoch = max(1, len(clean_train) // batch_size)
         start_epoch = 0
+        resume_path = None
         if resume:
-            try:
-                # build the optimizer with THIS run's LR schedule before
-                # restoring (load_model on a fresh pipeline would otherwise
-                # init a 1-epoch schedule that the restored opt_state then
-                # runs under)
-                if self.state is None:
-                    self.init_state(epochs, steps_per_epoch,
-                                    example_len=max_len)
-                path = self.load_model()
-                start_epoch = min(int(self.state.step) // steps_per_epoch,
-                                  epochs)
-                if verbose:
-                    print(f"  Resuming from {path} at step "
-                          f"{int(self.state.step)} → epoch "
-                          f"{start_epoch + 1}/{epochs}")
-            except FileNotFoundError:
-                if verbose:
-                    print("  --resume requested but no checkpoint found — "
-                          "starting fresh")
+            # resume uses the checkpoint with the MAX step across final AND
+            # best — a fixed name preference would silently discard a newer
+            # best_* checkpoint's progress
+            resume_path = newest_checkpoint(self.model_dir,
+                                            self._CKPT_NAMES)
+            if resume_path is None and verbose:
+                print("  --resume requested but no checkpoint found — "
+                      "starting fresh")
+        if resume_path is not None:
+            # variant autodetect BEFORE init (init builds the param
+            # skeleton), and the optimizer with THIS run's LR schedule
+            # before restore
+            self._match_model_to_checkpoint(resume_path)
+            if self.state is None:
+                self.init_state(epochs, steps_per_epoch,
+                                example_len=max_len)
+            self.state = restore_checkpoint(resume_path, self.state)
+            start_epoch = min(int(self.state.step) // steps_per_epoch,
+                              epochs)
+            if verbose:
+                print(f"  Resuming from {resume_path} at step "
+                      f"{int(self.state.step)} → epoch "
+                      f"{start_epoch + 1}/{epochs}")
         if self.state is None:
             self.init_state(epochs, steps_per_epoch, example_len=max_len)
         train_step = self._make_train_step()
@@ -422,19 +429,27 @@ class SincformerPipeline:
         key = jax.random.PRNGKey(self.seed + 10)
 
         best_val = float("inf")
-        if resume and start_epoch > 0:
-            # seed best_val with the restored model's val loss so the
-            # resumed run can't overwrite best_sincformer with a worse one
-            test_ds = self.remix_for_stage(
-                clean_test, noises, list(cfg.DEFAULT.data.snr_levels),
-                max_len, 0)
-            v = [float(eval_step(self.state, jnp.asarray(b["noisy"]),
-                                 jnp.asarray(b["clean"]))[0])
-                 for b in batch_iterator(test_ds, batch_size, shuffle=False,
-                                         drop_last=False)]
-            finite = [x for x in v if np.isfinite(x)]
-            if finite:
-                best_val = float(np.mean(finite))
+        if resume_path is not None and start_epoch > 0:
+            # seed best_val from the PERSISTED best (sidecar written at
+            # every best-save) so the resumed run can't overwrite
+            # best_sincformer with a worse model; fall back to evaluating
+            # the restored model for pre-sidecar checkpoints
+            meta = read_train_meta(self.model_dir, "best_sincformer")
+            if meta and np.isfinite(meta.get("best_val", np.inf)):
+                best_val = float(meta["best_val"])
+            else:
+                test_ds = self.remix_for_stage(
+                    clean_test, noises, list(cfg.DEFAULT.data.snr_levels),
+                    max_len, 0)
+                v = [eval_step(self.state, jnp.asarray(b["noisy"]),
+                               jnp.asarray(b["clean"]))[0]
+                     for b in batch_iterator(test_ds, batch_size,
+                                             shuffle=False,
+                                             drop_last=False)]
+                v = [float(x) for x in v]          # one sync point
+                finite = [x for x in v if np.isfinite(x)]
+                if finite:
+                    best_val = float(np.mean(finite))
 
         history = []
         last_stage = None
@@ -513,6 +528,9 @@ class SincformerPipeline:
             if improved:
                 best_val = va_loss
                 self.save_model("best_sincformer")
+                write_train_meta(self.model_dir, "best_sincformer",
+                                 {"best_val": va_loss, "epoch": epoch,
+                                  "step": int(self.state.step)})
             entry = {"epoch": epoch, "stage": stage.get("stage"),
                      "train_loss": tr_loss, "val_loss": va_loss,
                      "val_sisnr": va_sisnr,
@@ -545,34 +563,38 @@ class SincformerPipeline:
         return save_checkpoint(os.path.join(self.model_dir, name),
                                self.state, step=int(self.state.step))
 
+    _CKPT_NAMES = ("sincformer_final", "best_sincformer")
+
+    def _match_model_to_checkpoint(self, path: str) -> None:
+        """Match the model skeleton to the checkpoint's CPEA/PA impls and
+        fine activation so a model trained with any variant restores
+        without the caller having to know how it was trained. clone()
+        keeps THIS model's hyperparameters (sizes may be non-default) and
+        flips only the checkpoint-detected fields."""
+        overrides = {}
+        impl = _checkpoint_cpea_impl(path)
+        if impl and impl != self.model.cpea_impl:
+            overrides["cpea_impl"] = impl
+        pa = _checkpoint_pa_impl(path)
+        if pa and pa != self.model.pa_impl:
+            overrides["pa_impl"] = pa
+        fa = _checkpoint_pa_fine_act(path)
+        if fa and fa != self.model.pa_fine_act:
+            overrides["pa_fine_act"] = fa
+        if overrides:
+            self.model = self.model.clone(**overrides)
+
     def load_model(self, path: str | None = None):
         if path is None:
-            for name in ("sincformer_final", "best_sincformer"):
+            # inference preference: the completed-run artifact first
+            for name in self._CKPT_NAMES:
                 path = latest_step_dir(os.path.join(self.model_dir, name))
                 if path:
                     break
         if path is None:
             raise FileNotFoundError("no sincformer checkpoint found")
         if self.state is None:
-            # Match the model skeleton to the checkpoint's CPEA/PA impls so
-            # a model trained with either variant restores without the
-            # caller having to know how it was trained.
-            overrides = {}
-            impl = _checkpoint_cpea_impl(path)
-            if impl and impl != self.model.cpea_impl:
-                overrides["cpea_impl"] = impl
-            pa = _checkpoint_pa_impl(path)
-            if pa and pa != self.model.pa_impl:
-                overrides["pa_impl"] = pa
-            fa = _checkpoint_pa_fine_act(path)
-            if fa and fa != self.model.pa_fine_act:
-                overrides["pa_fine_act"] = fa
-            if overrides:
-                # clone() keeps THIS model's hyperparameters (sizes may be
-                # non-default) and flips only the checkpoint-detected
-                # fields — rebuilding via default_metacog here silently
-                # reset every dim to the config defaults
-                self.model = self.model.clone(**overrides)
+            self._match_model_to_checkpoint(path)
             self.init_state(epochs=1, steps_per_epoch=1)
         self.state = restore_checkpoint(path, self.state)
         return path

@@ -32,7 +32,9 @@ from sincformer_tpu.train.losses import (multi_resolution_stft_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
                                         latest_step_dir, make_adamw,
-                                        restore_checkpoint, save_checkpoint)
+                                        newest_checkpoint, read_train_meta,
+                                        restore_checkpoint, save_checkpoint,
+                                        write_train_meta)
 
 
 class DCSEPipeline:
@@ -192,22 +194,25 @@ class DCSEPipeline:
         steps_per_epoch = max(1, len(train_ds) // batch_size)
 
         start_epoch = 0
+        resume_path = None
         if resume:
-            try:
-                if self.state is None:
-                    self.init_state(epochs, steps_per_epoch,
-                                    example_len=train_ds.max_len)
-                path = self.load_model()
-                start_epoch = min(int(self.state.step) // steps_per_epoch,
-                                  epochs)
-                if verbose:
-                    print(f"  Resuming from {path} at step "
-                          f"{int(self.state.step)} → epoch "
-                          f"{start_epoch + 1}/{epochs}")
-            except FileNotFoundError:
-                if verbose:
-                    print("  resume requested but no checkpoint found — "
-                          "starting fresh")
+            # MAX step across final AND best (see agent_trainer.train)
+            resume_path = newest_checkpoint(
+                self.model_dir, ("conformer_final", "best_conformer"))
+            if resume_path is None and verbose:
+                print("  resume requested but no checkpoint found — "
+                      "starting fresh")
+        if resume_path is not None:
+            if self.state is None:
+                self.init_state(epochs, steps_per_epoch,
+                                example_len=train_ds.max_len)
+            self.state = restore_checkpoint(resume_path, self.state)
+            start_epoch = min(int(self.state.step) // steps_per_epoch,
+                              epochs)
+            if verbose:
+                print(f"  Resuming from {resume_path} at step "
+                      f"{int(self.state.step)} → epoch "
+                      f"{start_epoch + 1}/{epochs}")
         if self.state is None:
             self.init_state(epochs, steps_per_epoch,
                             example_len=train_ds.max_len)
@@ -216,16 +221,21 @@ class DCSEPipeline:
         key = jax.random.PRNGKey(self.seed + 1)
 
         best_val = float("inf")
-        if resume and start_epoch > 0:
-            v = [float(eval_step(self.state.params, self.state.model_state,
-                                 jnp.asarray(b["noisy"]),
-                                 jnp.asarray(b["clean"]))[0])
-                 for b in batch_iterator(test_ds, batch_size, shuffle=False,
-                                         drop_last=False,
-                                         bucketed=bucketed)]
-            finite = [x for x in v if np.isfinite(x)]
-            if finite:
-                best_val = float(np.mean(finite))
+        if resume_path is not None and start_epoch > 0:
+            meta = read_train_meta(self.model_dir, "best_conformer")
+            if meta and np.isfinite(meta.get("best_val", np.inf)):
+                best_val = float(meta["best_val"])
+            else:
+                v = [eval_step(self.state.params, self.state.model_state,
+                               jnp.asarray(b["noisy"]),
+                               jnp.asarray(b["clean"]))[0]
+                     for b in batch_iterator(test_ds, batch_size,
+                                             shuffle=False, drop_last=False,
+                                             bucketed=bucketed)]
+                v = [float(x) for x in v]          # one sync point
+                finite = [x for x in v if np.isfinite(x)]
+                if finite:
+                    best_val = float(np.mean(finite))
         history = []
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -271,6 +281,9 @@ class DCSEPipeline:
             if improved:
                 best_val = va_loss
                 self.save_model("best_conformer")
+                write_train_meta(self.model_dir, "best_conformer",
+                                 {"best_val": va_loss, "epoch": epoch,
+                                  "step": int(self.state.step)})
             entry = {"epoch": epoch, "train_loss": tr_loss,
                      "val_loss": va_loss, "val_sisnr": va_sisnr,
                      "nan_count": int(self.state.nan_count),

@@ -140,6 +140,46 @@ def latest_step_dir(base: str) -> Optional[str]:
             best, best_n = d, n
     return os.path.join(base, best) if best else None
 
+
+def checkpoint_step(path: str) -> int:
+    """Numeric step of a ``.../step_N`` checkpoint dir (-1 if unparsable)."""
+    tail = os.path.basename(path.rstrip(os.sep))
+    try:
+        return int(tail[len("step_"):]) if tail.startswith("step_") else -1
+    except ValueError:
+        return -1
+
+
+def newest_checkpoint(model_dir: str, names) -> Optional[str]:
+    """The checkpoint with the MAX step across ``names`` (e.g. final AND
+    best). Resume must use this: a fixed final-before-best name preference
+    silently discards a newer best_* checkpoint's progress."""
+    best, best_n = None, -1
+    for name in names:
+        p = latest_step_dir(os.path.join(model_dir, name))
+        if p is not None and checkpoint_step(p) > best_n:
+            best, best_n = p, checkpoint_step(p)
+    return best
+
+
+def write_train_meta(model_dir: str, name: str, meta: dict) -> None:
+    """Sidecar JSON next to a named checkpoint family (host metadata the
+    orbax tree shouldn't carry — best val loss, epoch, wall time)."""
+    import json
+    os.makedirs(os.path.join(model_dir, name), exist_ok=True)
+    with open(os.path.join(model_dir, name, "train_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_train_meta(model_dir: str, name: str) -> Optional[dict]:
+    import json
+    p = os.path.join(model_dir, name, "train_meta.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                     extra: Optional[dict] = None):
     """Persist full train state (+ host metadata like norm stats)."""

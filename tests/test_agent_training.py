@@ -153,7 +153,16 @@ class TestResume:
                            max_len=4000, verbose=False)
         assert len(hist1) == 3
         steps_per_epoch = max(1, len(clean) // 4)
-        saved_step = int(pipe.state.step)
+
+        # resume restores the NEWEST on-disk checkpoint (written at the
+        # last IMPROVED epoch, not necessarily the last epoch run) — derive
+        # the expectation from the actual checkpoint step
+        from sincformer_tpu.train.state import (checkpoint_step,
+                                                newest_checkpoint)
+        ck = newest_checkpoint(str(tmp_path),
+                               ("sincformer_final", "best_sincformer"))
+        saved_step = checkpoint_step(ck)
+        assert saved_step > 0
 
         # resumed run in a FRESH pipeline (new process semantics)
         pipe2 = fresh_pipe()
@@ -176,3 +185,25 @@ class TestResume:
         hist = pipe.train(clean, clean[:1], noises, epochs=1, batch_size=4,
                           max_len=4000, verbose=False, resume=True)
         assert len(hist) == 1 and hist[0]["epoch"] == 0
+
+    def test_resume_autodetects_checkpoint_variant(self, tmp_path):
+        """Resume must run the variant autodetect BEFORE building the
+        param skeleton: a run trained with --cpea ssm resumes correctly
+        even when the resuming process builds a default (lstm) model."""
+        clean = [synthetic_speech(0.5)] * 4
+        noises = {"white": synthetic_noise(8000, seed=7)}
+        ssm_model = default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64, kernel_size=7,
+            dropout=0.0, memory_slots=4, sinc_kernel_size=65,
+            cpea_impl="ssm")
+        p1 = SincformerPipeline(model=ssm_model, model_dir=str(tmp_path))
+        p1.train(clean, clean[:1], noises, epochs=1, batch_size=4,
+                 max_len=4000, verbose=False)
+
+        p2 = SincformerPipeline(model=tiny_model(),  # lstm default
+                                model_dir=str(tmp_path))
+        h = p2.train(clean, clean[:1], noises, epochs=2, batch_size=4,
+                     max_len=4000, verbose=False, resume=True)
+        assert p2.model.cpea_impl == "ssm"
+        assert h[-1]["epoch"] == 1

@@ -171,7 +171,14 @@ class TestDCSEResume:
         p1 = fresh()
         h1 = p1.train(ds, ds, epochs=2, batch_size=4, verbose=False)
         assert len(h1) == 2
-        saved_step = int(p1.state.step)
+        # derive the expectation from the NEWEST on-disk checkpoint (the
+        # best save, not necessarily the last epoch run)
+        from sincformer_tpu.train.state import (checkpoint_step,
+                                                newest_checkpoint)
+        ck = newest_checkpoint(str(tmp_path),
+                               ("conformer_final", "best_conformer"))
+        saved_step = checkpoint_step(ck)
+        assert saved_step > 0
 
         p2 = fresh()
         h2 = p2.train(ds, ds, epochs=4, batch_size=4, verbose=False,
