@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -290,7 +292,71 @@ def bench_reference() -> float:
     return BATCH * SECONDS / dt
 
 
+def _emit_unavailable(detail: str) -> None:
+    """One parseable JSON line when the TPU backend is unreachable.
+
+    Round-3 post-mortem: the axon tunnel died mid-round and BENCH_r03.json
+    recorded a raw traceback (rc=1) / would now hang at first jax import.
+    The driver needs a line it can parse either way (VERDICT r3 #1)."""
+    print(json.dumps({
+        "metric": "enhancement_realtime_factor",
+        "value": None,
+        "unit": "audio_seconds/second/chip",
+        "vs_baseline": None,
+        "error": "tpu-unavailable",
+        "detail": detail[:300],
+        "extra": {},
+    }))
+
+
+def _probe_backend(timeout: float, attempts: int) -> str | None:
+    """Check jax can initialize its backend, in a SUBPROCESS with a hard
+    timeout (a dead axon relay makes `import jax` hang indefinitely — it
+    dials the closed relay ports; a subprocess is the only safe probe).
+    Returns None when a device answers, else a short error string."""
+    code = "import jax; print(jax.devices()[0].platform)"
+    last = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            if r.returncode == 0:
+                return None
+            lines = r.stderr.strip().splitlines() or [f"rc={r.returncode}"]
+            last = lines[-1]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang >{timeout:.0f}s (relay down?)"
+        if i + 1 < attempts:
+            time.sleep(30.0)
+    return last
+
+
 def main():
+    probe_timeout = float(os.environ.get(
+        "SINCFORMER_BENCH_PROBE_TIMEOUT", "600"))
+    probe_attempts = int(os.environ.get(
+        "SINCFORMER_BENCH_PROBE_ATTEMPTS", "2"))
+    err = _probe_backend(probe_timeout, probe_attempts)
+    if err is not None:
+        _emit_unavailable(err)
+        return
+
+    # Watchdog: if the tunnel dies MID-bench (round-3 failure mode) the
+    # chain fetch hangs forever; emit the error line and exit cleanly
+    # instead of letting the driver record an unparseable timeout.
+    budget = float(os.environ.get("SINCFORMER_BENCH_BUDGET", "3000"))
+
+    def _watchdog():
+        _emit_unavailable(f"bench exceeded {budget:.0f}s budget "
+                          "(backend stalled mid-run?)")
+        sys.stdout.flush()
+        os._exit(0)
+
+    timer = threading.Timer(budget, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     ours = bench_ours()
     try:
         theirs = bench_reference()
@@ -314,6 +380,7 @@ def main():
         "vs_baseline": round(ours / theirs, 2) if theirs else None,
         "extra": extra,
     }
+    timer.cancel()
     print(json.dumps(result))
 
 
