@@ -142,7 +142,9 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
         o = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl,
-                                  pad_to=self.pad_to)
+                                  pad_to=self.pad_to,
+                                  train=not deterministic,
+                                  quiet=self.is_initializing())
         o = o.reshape(b, t, d)
         o = nn.Dense(d, name="out")(o)
         o = nn.Dropout(self.dropout, deterministic=deterministic)(o)
