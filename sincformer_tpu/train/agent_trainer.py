@@ -390,9 +390,11 @@ class SincformerPipeline:
         epoch after the one it was saved at, with the curriculum stage and
         LR-schedule position derived from the restored step counter. The
         reference cannot resume at all (its checkpoints carry no optimizer
-        state, SURVEY §5). Caveat: under ``--adversarial`` the
-        discriminator is NOT checkpointed (it is a training-only aid);
-        a stage-3 resume restarts it from init, which LSGAN tolerates."""
+        state, SURVEY §5). Under ``--adversarial`` the discriminator train
+        state is checkpointed alongside the generator (``<name>_disc``
+        family, same step) and restored on resume, so a stage-3 resume is
+        exact; a legacy checkpoint without the ``_disc`` sibling falls
+        back to a fresh discriminator with a warning."""
         max_len = max_len or int(self.fs * cfg.DEFAULT.data.max_wave_seconds)
         epochs = epochs or self.curriculum.total_epochs
         steps_per_epoch = max(1, len(clean_train) // batch_size)
@@ -422,6 +424,24 @@ class SincformerPipeline:
                 print(f"  Resuming from {resume_path} at step "
                       f"{int(self.state.step)} → epoch "
                       f"{start_epoch + 1}/{epochs}")
+            if self.disc_state is not None:
+                # discriminator sibling saved by save_model at the same
+                # step (VERDICT r3 #7: stage-3 resume must be exact)
+                dpath = os.path.join(
+                    os.path.dirname(resume_path) + "_disc",
+                    os.path.basename(resume_path))
+                if os.path.isdir(dpath):
+                    self.disc_state = restore_checkpoint(dpath,
+                                                         self.disc_state)
+                    if verbose:
+                        print(f"  Restored discriminator from {dpath}")
+                else:
+                    import warnings
+                    warnings.warn(
+                        f"adversarial resume: no discriminator checkpoint "
+                        f"at {dpath} (legacy generator-only checkpoint); "
+                        f"the discriminator restarts from init",
+                        RuntimeWarning)
         if self.state is None:
             self.init_state(epochs, steps_per_epoch, example_len=max_len)
         train_step = self._make_train_step()
@@ -560,8 +580,14 @@ class SincformerPipeline:
             return save_checkpoint_quantized(
                 os.path.join(self.model_dir, name), self.state,
                 step=int(self.state.step))
-        return save_checkpoint(os.path.join(self.model_dir, name),
+        path = save_checkpoint(os.path.join(self.model_dir, name),
                                self.state, step=int(self.state.step))
+        if self.disc_state is not None:
+            # sibling family, keyed by the GENERATOR's step so resume can
+            # pair them (VERDICT r3 #7)
+            save_checkpoint(os.path.join(self.model_dir, name + "_disc"),
+                            self.disc_state, step=int(self.state.step))
+        return path
 
     _CKPT_NAMES = ("sincformer_final", "best_sincformer")
 

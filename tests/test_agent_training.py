@@ -2,6 +2,7 @@
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from sincformer_tpu.data import synthetic_noise, synthetic_speech
@@ -185,6 +186,78 @@ class TestResume:
         hist = pipe.train(clean, clean[:1], noises, epochs=1, batch_size=4,
                           max_len=4000, verbose=False, resume=True)
         assert len(hist) == 1 and hist[0]["epoch"] == 0
+
+    def test_adversarial_kill_and_resume_restores_discriminator(
+            self, tmp_path):
+        """VERDICT r3 #7: the discriminator train state is checkpointed
+        alongside the generator and restored exactly on resume — a stage-3
+        resume continues the SAME adversarial game, not a fresh D."""
+        rng = np.random.default_rng(9)
+        clean = [synthetic_speech(0.5) * (0.7 + 0.6 * rng.random())
+                 for _ in range(6)]
+        noises = {"white": synthetic_noise(8000, seed=11)}
+
+        def fresh_pipe():
+            p = SincformerPipeline(model=tiny_model(),
+                                   model_dir=str(tmp_path),
+                                   use_adversarial=True)
+            p.curriculum.stage1_epochs = 1
+            p.curriculum.stage2_epochs = 1
+            p.curriculum.stage3_epochs = 2
+            p.curriculum.total_epochs = 4
+            return p
+
+        # "crashed" mid-stage-3 (epoch 3 of 4): D has trained
+        pipe = fresh_pipe()
+        pipe.train(clean, clean[:2], noises, epochs=3, batch_size=3,
+                   max_len=4000, verbose=False)
+        assert int(pipe.disc_state.step) > 0
+        saved_d = jax.tree.map(np.asarray, pipe.disc_state.params)
+        saved_d_step = int(pipe.disc_state.step)
+
+        pipe2 = fresh_pipe()
+        pipe2.init_state(epochs=4,
+                         steps_per_epoch=max(1, len(clean) // 3),
+                         example_len=4000)
+        fresh_d = jax.tree.map(np.asarray, pipe2.disc_state.params)
+        # sanity: a fresh D differs from the trained one
+        deltas = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.max(np.abs(a - b))), saved_d, fresh_d))
+        assert max(deltas) > 0
+
+        hist = pipe2.train(clean, clean[:2], noises, epochs=4,
+                           batch_size=3, max_len=4000, verbose=False,
+                           resume=True)
+        # resumed D continued from the saved params (trained past them)
+        assert int(pipe2.disc_state.step) > saved_d_step
+        assert hist[-1]["stage"] == 3
+        assert all(np.isfinite(h["train_loss"]) for h in hist)
+
+    def test_adversarial_resume_restores_exact_disc_params(self, tmp_path):
+        """Restore-only check: save_model writes the _disc sibling and a
+        fresh pipeline's resume restores bit-identical D params."""
+        clean = [synthetic_speech(0.5)] * 6
+        noises = {"white": synthetic_noise(8000, seed=12)}
+        p1 = SincformerPipeline(model=tiny_model(), model_dir=str(tmp_path),
+                                use_adversarial=True)
+        p1.curriculum.stage1_epochs = 0
+        p1.curriculum.stage2_epochs = 0
+        p1.curriculum.stage3_epochs = 2
+        p1.curriculum.total_epochs = 2
+        p1.train(clean, clean[:2], noises, epochs=2, batch_size=3,
+                 max_len=4000, verbose=False)
+        p1.save_model("sincformer_final")   # as the CLI does after train
+        saved = jax.tree.map(np.asarray, p1.disc_state.params)
+
+        p2 = SincformerPipeline(model=tiny_model(), model_dir=str(tmp_path),
+                                use_adversarial=True)
+        p2.curriculum = p1.curriculum
+        # resume with epochs == completed epochs: restores then exits the
+        # epoch loop immediately — pure restore semantics
+        p2.train(clean, clean[:2], noises, epochs=2, batch_size=3,
+                 max_len=4000, verbose=False, resume=True)
+        restored = jax.tree.map(np.asarray, p2.disc_state.params)
+        jax.tree.map(np.testing.assert_array_equal, saved, restored)
 
     def test_resume_autodetects_checkpoint_variant(self, tmp_path):
         """Resume must run the variant autodetect BEFORE building the
