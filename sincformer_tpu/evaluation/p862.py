@@ -435,3 +435,38 @@ def pesq_p862(ref_sig: np.ndarray, deg_sig: np.ndarray,
     d_ind = _lpq(frame_d)
     a_ind = _lpq(frame_da)
     return float(np.clip(4.5 - 0.1 * d_ind - 0.0309 * a_ind, -0.5, 4.5))
+
+
+# ─── P.862.1 MOS-LQO mapping ──────────────────────────────────────────────────
+
+# Published constants of the ITU-T P.862.1 (2003) output mapping, Eq. 1:
+# a monotone logistic from raw P.862 score x to listening-quality MOS.
+_LQO_FLOOR = 0.999
+_LQO_CEIL = 4.999
+_LQO_SLOPE = -1.4945
+_LQO_OFFSET = 4.6607
+
+
+def mos_lqo(raw_pesq: float) -> float:
+    """ITU-T P.862.1 mapping: raw P.862 score → MOS-LQO.
+
+    y = 0.999 + (4.999 − 0.999) / (1 + e^(−1.4945·x + 4.6607))
+
+    The mapping's published anchors are analytic: y(−∞) = 0.999,
+    y(+∞) = 4.999, and the inflection at x = 4.6607/1.4945 ≈ 3.1186 maps
+    to the midpoint 2.999 (tests/test_p862.py pins these, so a constant
+    transcription error cannot survive). The ecosystem ``pesq`` library
+    applies this same mapping for its MOS-LQO outputs
+    (reference evaluation/pesq_eval.py:40-42 consumes raw 'nb' scores)."""
+    x = float(raw_pesq)
+    return _LQO_FLOOR + (_LQO_CEIL - _LQO_FLOOR) / (
+        1.0 + np.exp(_LQO_SLOPE * x + _LQO_OFFSET))
+
+
+def mos_lqo_inverse(lqo: float) -> float:
+    """Inverse of :func:`mos_lqo` (P.862.1 Eq. 2 direction), for mapping
+    published MOS-LQO conformance figures back to raw-score space."""
+    y = float(lqo)
+    y = min(max(y, _LQO_FLOOR + 1e-12), _LQO_CEIL - 1e-12)
+    return (np.log((_LQO_CEIL - _LQO_FLOOR) / (y - _LQO_FLOOR) - 1.0)
+            - _LQO_OFFSET) / _LQO_SLOPE

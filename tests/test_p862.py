@@ -138,6 +138,35 @@ class TestGoldenRegression:
             assert got == pytest.approx(want, abs=1e-3), (snr, got)
 
 
+class TestP8621Mapping:
+    """ITU-T P.862.1 raw→MOS-LQO mapping: its anchors are ANALYTIC
+    consequences of the published constants (VERDICT r3 #4a) — these fail
+    if any transcribed constant drifts, independent of any golden file."""
+
+    def test_asymptotes(self):
+        from sincformer_tpu.evaluation.p862 import mos_lqo
+        assert mos_lqo(-100.0) == pytest.approx(0.999, abs=1e-9)
+        assert mos_lqo(100.0) == pytest.approx(4.999, abs=1e-9)
+
+    def test_inflection_midpoint(self):
+        # logistic midpoint: x* = offset/|slope| = 4.6607/1.4945 maps to
+        # (0.999 + 4.999)/2 = 2.999 exactly
+        from sincformer_tpu.evaluation.p862 import mos_lqo
+        assert mos_lqo(4.6607 / 1.4945) == pytest.approx(2.999, abs=1e-12)
+
+    def test_monotone_and_smooth(self):
+        from sincformer_tpu.evaluation.p862 import mos_lqo
+        xs = np.linspace(-0.5, 4.5, 101)
+        ys = [mos_lqo(x) for x in xs]
+        assert all(b > a for a, b in zip(ys, ys[1:]))
+        assert 1.0 < mos_lqo(1.0) < mos_lqo(4.5) < 4.6
+
+    def test_inverse_roundtrip(self):
+        from sincformer_tpu.evaluation.p862 import mos_lqo, mos_lqo_inverse
+        for x in (-0.5, 0.0, 1.0, 2.5, 3.12, 4.5):
+            assert mos_lqo_inverse(mos_lqo(x)) == pytest.approx(x, abs=1e-9)
+
+
 class TestImplChain:
     def test_auto_uses_native_without_clib(self):
         clean, noise = _corpus()
