@@ -104,7 +104,11 @@ class DataConfig:
     train_split_seed: int = 42     # pipeline.py:406 / conformer_pipeline.py:381
     eval_sample_seed: int = 99     # main.py:280
     train_fraction: float = 0.9
-    max_wave_seconds: float = 4.0  # conformer_pipeline.py:159 pad/trunc length
+    # reference pad/trunc length (conformer_pipeline.py:159); env-overridable
+    # like the directory knobs so memory-constrained (or CPU CI) runs can
+    # shrink the padded batch shape without editing code
+    max_wave_seconds: float = field(default_factory=lambda: float(
+        os.environ.get("SINCFORMER_MAX_WAVE_SECONDS", "4.0")))
 
     timit_dir: str = field(default_factory=lambda: os.environ.get(
         "SINCFORMER_TIMIT_DIR",
