@@ -171,11 +171,6 @@ def train(args):
                    resume=getattr(args, "resume", False))
         pipe.save_model()
     else:
-        if getattr(args, "resume", False):
-            raise SystemExit(
-                "--resume is not supported for --pipeline dnn (its RBM "
-                "pretrain + NaN re-init flow has no resume semantics); "
-                "rerun without --resume")
         from sincformer_tpu.train.dnn_trainer import DNNPipeline
         print("=" * 70)
         print("  Speech Enhancement — DNN Training (TPU)")
@@ -189,7 +184,8 @@ def train(args):
         else:
             train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
                                                   max_test=args.max_test)
-        pipe.train(train_ds, test_ds, epochs=args.epochs)
+        pipe.train(train_ds, test_ds, epochs=args.epochs,
+                   resume=getattr(args, "resume", False))
         pipe.save_model()
 
     print("\nTraining complete!")

@@ -346,12 +346,52 @@ class DNNPipeline:
 
     def train(self, train_ds: FrameDataset, test_ds: FrameDataset,
               epochs: int | None = None, batch_size: int | None = None,
-              verbose: bool = True) -> List[dict]:
+              verbose: bool = True, resume: bool = False) -> List[dict]:
+        """``resume=True`` restores the newest checkpoint (params +
+        optimizer + step) and the host-side schedule state (LR after any
+        plateau/NaN reductions, plateau counter, best val) from the
+        checkpoint's sidecar meta, then SKIPS the RBM pretrain — the
+        restored params already embody it, and protecting that expensive
+        stage is the point of resume (VERDICT r3 #10). The reference
+        cannot resume (no optimizer state in its checkpoints, SURVEY §5)."""
         epochs = epochs or self.dcfg.epochs
         batch_size = batch_size or self.dcfg.batch_size
         key = jax.random.PRNGKey(self.seed)
         self.state = self._init_model_state(self._lr, key)
-        if self.use_rbm and len(train_ds) > 0:
+
+        start_epoch = 0
+        resume_lr = None
+        resume_best = None
+        resume_plateau = 0
+        resume_path = None
+        if resume:
+            from sincformer_tpu.train.state import (newest_checkpoint,
+                                                    restore_checkpoint)
+            resume_path = newest_checkpoint(
+                self.model_dir,
+                (f"best_{self.mask_type}", f"dnn_{self.mask_type}_final"))
+            if resume_path is None and verbose:
+                print("  --resume requested but no checkpoint found — "
+                      "starting fresh")
+        if resume_path is not None:
+            self.state = restore_checkpoint(resume_path, self.state)
+            meta = {}
+            try:
+                import json
+                with open(resume_path + ".meta.json") as f:
+                    meta = json.load(f)
+            except Exception:
+                pass
+            resume_lr = meta.get("lr")
+            resume_best = meta.get("best_val")
+            resume_plateau = int(meta.get("plateau", 0))
+            start_epoch = min(int(meta.get("epoch", -1)) + 1, epochs)
+            if verbose:
+                print(f"  Resuming from {resume_path} at step "
+                      f"{int(self.state.step)} → epoch "
+                      f"{start_epoch + 1}/{epochs}"
+                      + (f" (LR {resume_lr:.2e})" if resume_lr else ""))
+        elif self.use_rbm and len(train_ds) > 0:
             self._rbm_pretrain(train_ds, verbose)
 
         model = self.model
@@ -390,12 +430,16 @@ class DNNPipeline:
         usable = nb * batch_size
         rng_np = np.random.default_rng(self.seed)
 
-        best_val = float("inf")
+        best_val = (float(resume_best)
+                    if resume_best is not None else float("inf"))
         nan_epochs = 0
         history = []
-        lr = self._lr
-        plateau = 0
-        for epoch in range(epochs):
+        lr = float(resume_lr) if resume_lr is not None else self._lr
+        plateau = resume_plateau
+        if resume_lr is not None:
+            self.state = self.state.replace(
+                opt_state=set_injected_lr(self.state.opt_state, lr))
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             perm = rng_np.permutation(n)[:usable]
             feats = jnp.asarray(train_ds.features[perm]).reshape(
@@ -430,6 +474,8 @@ class DNNPipeline:
             if va_loss < best_val - 1e-6:
                 best_val = va_loss
                 plateau = 0
+                self._progress = {"lr": lr, "plateau": plateau,
+                                  "best_val": best_val, "epoch": epoch}
                 self.save_model(f"best_{self.mask_type}")
             else:
                 plateau += 1
@@ -440,6 +486,8 @@ class DNNPipeline:
                         opt_state=set_injected_lr(self.state.opt_state, lr))
                     if verbose:
                         print(f"    LR reduced to {lr:.2e}")
+            self._progress = {"lr": lr, "plateau": plateau,
+                              "best_val": best_val, "epoch": epoch}
             entry = {"epoch": epoch, "train_loss": tr_loss,
                      "val_loss": va_loss, "lr": lr,
                      "epoch_seconds": time.time() - t0}
@@ -464,6 +512,10 @@ class DNNPipeline:
                  "mask_type": self.mask_type,
                  "feature_dim": self.feature_dim,
                  "mask_dim": self.mask_dim}
+        # training-progress sidecar (LR schedule position, plateau counter,
+        # best val, last epoch) so train(resume=True) restores the host
+        # schedule exactly, not just the device state
+        extra.update(getattr(self, "_progress", {}))
         saver = save_checkpoint_quantized if quantize else save_checkpoint
         return saver(os.path.join(self.model_dir, name),
                      self.state, int(self.state.step), extra)
