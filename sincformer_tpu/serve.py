@@ -22,10 +22,22 @@ reference lacks (SURVEY.md §5 long-context note):
 Windows overlap by ``overlap`` samples and are cross-faded with a linear
 ramp; every chunk reuses ONE compiled enhancement function per window
 shape (a single jit cache entry regardless of total input length).
+
+Device-side OLA (VERDICT r3 #9): for the DCSE and Sincformer pipelines the
+whole long-form flow — framing into overlapped windows, per-group model
+applies (``lax.map``, bounding live memory to ``chunk_batch`` windows),
+cross-fade weighting and scatter-free overlap-add — runs as ONE jitted
+device program per padded chunk-count. The file crosses the host↔device
+boundary exactly twice (signal up, enhanced signal down) instead of
+2×ceil(C/chunk_batch) group transfers plus a Python OLA loop; through the
+remote-TPU tunnel those per-group round trips dominated the serving RTF
+(445× vs the 44k batch path, docs/PERF.md round-3). Pipelines without a
+compatible jitted core (the DNN mask pipeline) keep the host OLA path.
 """
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -46,7 +58,7 @@ class StreamingEnhancer:
     """
 
     def __init__(self, pipeline, window: int = 32000, overlap: int = 1600,
-                 chunk_batch: int = 64):
+                 chunk_batch: int = 64, device_ola: Optional[bool] = None):
         assert overlap < window // 2
         self.pipeline = pipeline
         self.window = window
@@ -55,8 +67,101 @@ class StreamingEnhancer:
         ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
         self._fade_in = ramp
         self._fade_out = 1.0 - ramp
+        # device-side OLA: None = auto (use when the pipeline has a
+        # compatible jitted core), False = force host path
+        self.device_ola = device_ola
+        self._stream_jit: dict = {}
 
     # ── internals ───────────────────────────────────────────────────────
+
+    def _device_apply(self):
+        """(state_pytree, apply(state, (B, W) chunks) -> (B, W)) for
+        pipelines whose jitted enhancement core can be traced inside the
+        whole-file device program; None for the rest (host OLA fallback).
+
+        Dispatch is by pipeline class name on purpose: serve.py must not
+        import the trainer modules (cycle), and the two supported cores
+        have different signatures."""
+        p = self.pipeline
+        kind = type(p).__name__
+        if getattr(p, "state", None) is None:
+            return None
+        if kind == "DCSEPipeline":
+            inner = p._enhance_fn(self.window)
+            return (p._variables(),), lambda st, w: inner(st[0], w)
+        if kind == "SincformerPipeline":
+            inner = p._enhance_fn(self.window)
+            return ((p.state.params, p.state.model_state or {}),), \
+                lambda st, w: inner(st[0][0], st[0][1], w)
+        return None
+
+    def _stream_fn(self, c_pad: int):
+        """One jitted whole-file program for ``c_pad`` windows: frame →
+        grouped model applies → cross-fade weights → overlap-add. Traced
+        args carry the true sample count so one compile per padded
+        chunk-count serves every file length mapping to it."""
+        import jax
+        import jax.numpy as jnp
+
+        from sincformer_tpu.utils.signal import (frame_signal, overlap_add,
+                                                 pcm_to_float)
+
+        window, overlap = self.window, self.overlap
+        hop = window - overlap
+        gb = min(self.chunk_batch, c_pad)
+        state, apply = self._device_apply()
+        fade_in = jnp.asarray(self._fade_in)
+        fade_out = jnp.asarray(self._fade_out)
+        out_len = (c_pad - 1) * hop + window
+
+        @jax.jit
+        def fn(state, sig, n_true):
+            sig = pcm_to_float(sig)
+            chunks = frame_signal(sig, window, hop)          # (c_pad, W)
+            groups = chunks.reshape(-1, gb, window)
+            enh = jax.lax.map(lambda g: apply(state, g),
+                              groups).reshape(-1, window)
+            idx = jnp.arange(c_pad)
+            # host-path parity: fade_in on every window but the first;
+            # fade_out iff the window ends strictly before the true end
+            w = jnp.ones((c_pad, window), jnp.float32)
+            w = w.at[:, :overlap].set(
+                jnp.where(idx[:, None] > 0, fade_in[None, :], 1.0))
+            fo = (idx * hop + window) < n_true
+            w = w.at[:, window - overlap:].set(
+                jnp.where(fo[:, None], fade_out[None, :], 1.0))
+            # windows past the true chunk count are shape padding only —
+            # zero their weight so model output on padded zeros can't
+            # bleed into the tail. c_true mirrors the host path's
+            # range(0, n, hop) window set exactly (bit-parity of the two
+            # OLA paths).
+            c_true = jnp.maximum((n_true + hop - 1) // hop, 1)
+            w = w * (idx < c_true)[:, None].astype(jnp.float32)
+            num = overlap_add(enh * w, hop, out_len)
+            den = overlap_add(w, hop, out_len)
+            return num / jnp.maximum(den, 1e-8)
+
+        return fn
+
+    def _enhance_device_ola(self, noisy: np.ndarray) -> Optional[np.ndarray]:
+        """Whole-file device OLA; None when the pipeline has no compatible
+        core (caller falls back to the host path)."""
+        if self.device_ola is False or self._device_apply() is None:
+            return None
+        import jax.numpy as jnp
+        n = len(noisy)
+        hop = self.window - self.overlap
+        c = max(1, math.ceil(n / hop))     # same window set as host path
+        c_pad = math.ceil(c / self.chunk_batch) * self.chunk_batch
+        total = (c_pad - 1) * hop + self.window
+        sig = np.zeros(total, noisy.dtype)
+        sig[:n] = noisy
+        if c_pad not in self._stream_jit:
+            self._stream_jit[c_pad] = self._stream_fn(c_pad)
+        state = self._device_apply()[0]
+        out = self._stream_jit[c_pad](state, jnp.asarray(sig),
+                                      jnp.asarray(n, jnp.int32))
+        return np.asarray(out[:n], np.float32)
 
     def _enhance_windows(self, chunks: np.ndarray) -> np.ndarray:
         """(C, window) noisy windows → (C, window) enhanced, batched when
@@ -97,6 +202,11 @@ class StreamingEnhancer:
             return self.pipeline.enhance_signal(
                 noisy.astype(np.float32) / 32768.0
                 if wire == np.int16 else noisy)
+
+        if self.device_ola is not False:
+            out = self._enhance_device_ola(noisy)
+            if out is not None:
+                return out
 
         hop = self.window - self.overlap
         starts = list(range(0, n, hop))

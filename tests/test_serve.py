@@ -226,3 +226,66 @@ class TestInt16Wire:
         out_pcm = pipe.enhance_batch(pcm)
         out_f = pipe.enhance_batch(pcm.astype(np.float32) / 32768.0)
         np.testing.assert_allclose(out_pcm, out_f, atol=1e-5)
+
+
+class TestDeviceOLA:
+    """VERDICT r3 #9: the whole-file device-side OLA path (one jitted
+    program: framing → grouped applies → cross-fade → overlap-add) must be
+    numerically identical to the host OLA path it replaces."""
+
+    def _dcse_pipe(self, tmp_path):
+        from sincformer_tpu.models.dcse import SpeechEnhancer
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+        model = SpeechEnhancer(n_freq=129, d_model=32, num_blocks=1,
+                               num_heads=2, d_ff=64, kernel_size=7,
+                               dropout=0.0)
+        pipe = DCSEPipeline(model=model, model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=8000)
+        return pipe
+
+    def test_dcse_device_matches_host(self, rng, tmp_path):
+        pipe = self._dcse_pipe(tmp_path)
+        for n in (50000, 43201, 7200 * 6, 7200 * 6 + 1):
+            x = rng.standard_normal(n).astype(np.float32) * 0.3
+            dev = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                    chunk_batch=4).enhance(x)
+            host = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                     chunk_batch=4,
+                                     device_ola=False).enhance(x)
+            assert dev.shape == host.shape == x.shape
+            np.testing.assert_allclose(dev, host, atol=2e-5, err_msg=str(n))
+
+    def test_dcse_device_int16_wire(self, rng, tmp_path):
+        pipe = self._dcse_pipe(tmp_path)
+        x = (rng.standard_normal(50000) * 8000).astype(np.int16)
+        dev = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                chunk_batch=4).enhance(x)
+        ref = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                chunk_batch=4).enhance(
+            x.astype(np.float32) / 32768.0)
+        np.testing.assert_allclose(dev, ref, atol=1e-5)
+
+    def test_sincformer_device_matches_host(self, rng, tmp_path):
+        from sincformer_tpu.train.agent_trainer import (SincformerPipeline,
+                                                        default_metacog)
+        model = default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64, kernel_size=7,
+            dropout=0.0, memory_slots=4, sinc_kernel_size=65)
+        pipe = SincformerPipeline(model=model, model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=8000)
+        x = rng.standard_normal(30000).astype(np.float32) * 0.3
+        dev = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                chunk_batch=2).enhance(x)
+        host = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                 chunk_batch=2, device_ola=False).enhance(x)
+        np.testing.assert_allclose(dev, host, atol=2e-5)
+
+    def test_unsupported_pipeline_falls_back_to_host(self, rng):
+        pipe = _BatchScalePipe()
+        se = StreamingEnhancer(pipe, window=32000, overlap=1600,
+                               chunk_batch=2)
+        x = rng.standard_normal(100000).astype(np.float32)
+        out = se.enhance(x)
+        np.testing.assert_allclose(out, x * 0.5, atol=1e-5)
+        assert pipe.batch_calls          # host batched path was used
