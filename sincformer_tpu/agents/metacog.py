@@ -73,6 +73,8 @@ class SincformerMetacog(nn.Module):
     pa_impl: str = "mxu"     # "mxu" (frame-rate GEMM encoder, TPU-fast) |
                              # "reference" (stride-2 cascade parity)
     pa_fine_act: str = "gelu"  # mxu fine-stream activation (gelu | mulaw)
+    pa_fine_feats: str = "single"  # "single" | "dual" (v5: + normalized
+                                   # fine-chunk stream; perception.py)
     enable_resample: bool = True
     sample_rate: int = 8000
     sinc_kernel_size: int = 251
@@ -88,7 +90,9 @@ class SincformerMetacog(nn.Module):
         if self.pa_impl == "mxu":
             pa = PerceptionAgentMXU(self.encoder_channels, self.sample_rate,
                                     self.sinc_kernel_size, self.hop,
-                                    fine_act=self.pa_fine_act, name="pa")
+                                    fine_act=self.pa_fine_act,
+                                    fine_feats=self.pa_fine_feats,
+                                    name="pa")
         else:
             pa = PerceptionAgent(self.encoder_channels, self.sample_rate,
                                  self.sinc_kernel_size, self.hop, name="pa")

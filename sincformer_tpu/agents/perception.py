@@ -87,6 +87,12 @@ class PerceptionAgentMXU(nn.Module):
     fine_act: str = "gelu"        # fine-stream activation: "gelu" (v2) |
                                   # "mulaw" (sign-preserving compressive —
                                   # round-3 SSNR ablation, RESULTS.md)
+    fine_feats: str = "single"    # "single" (v2/v4) | "dual" (v5
+                                  # hypothesis): ALSO feed a per-frame-
+                                  # NORMALIZED copy of the fine chunks —
+                                  # v3 showed normalization buys segmental
+                                  # SNR but costs CSII when it REPLACES
+                                  # the raw level cue; dual keeps both
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray
@@ -146,6 +152,14 @@ class PerceptionAgentMXU(nn.Module):
 
         h = (nn.Conv(d, (4,), padding="SAME", name="embed")(chunks)
              + nn.Conv(d, (2,), padding="SAME", name="embed_env")(echunks))
+        if self.fine_feats == "dual":
+            # v5: a level-decoupled VIEW of the same fine structure in
+            # ADDITION to the raw/companded chunks (not instead — the v3
+            # ablation showed replacing the level cue costs CSII).
+            normed = nn.LayerNorm(use_bias=False, use_scale=False,
+                                  name="chunk_ln")(chunks)
+            h = h + nn.Conv(d, (4,), padding="SAME",
+                            name="embed_norm")(normed)
         h = nn.LayerNorm(name="embed_ln")(h)
         h = nn.gelu(h)
 

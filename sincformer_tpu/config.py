@@ -236,6 +236,12 @@ class AgentConfig:
     pa_fine_act: str = field(
         default_factory=lambda: os.environ.get(
             "SINCFORMER_PA_FINE_ACT", "mulaw"))
+    # mxu fine-feature streams: "single" (v4, shipped) | "dual" (v5
+    # ablation candidate: adds a per-frame-normalized fine-chunk stream
+    # ALONGSIDE the companded raw one — agents/perception.py)
+    pa_fine_feats: str = field(
+        default_factory=lambda: os.environ.get(
+            "SINCFORMER_PA_FINE_FEATS", "single"))
 
 
 @dataclass(frozen=True)

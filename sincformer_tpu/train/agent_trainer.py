@@ -60,7 +60,8 @@ def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
               # (the Pallas speech kernel on TPU, docs/PERF.md)
               attn_impl=cfg.DEFAULT.conformer.attn_impl,
               pa_impl=agcfg.pa_impl,
-              pa_fine_act=agcfg.pa_fine_act)
+              pa_fine_act=agcfg.pa_fine_act,
+              pa_fine_feats=agcfg.pa_fine_feats)
     kw.update(overrides)
     return SincformerMetacog(**kw)
 
@@ -120,6 +121,14 @@ def _checkpoint_pa_fine_act(path: str) -> str | None:
     if "act_scale" in keys:
         return "gelu"
     return None
+
+
+def _checkpoint_pa_fine_feats(path: str) -> str | None:
+    """"dual" checkpoints carry the embed_norm conv (perception.py v5)."""
+    keys = _checkpoint_module_keys(path, "pa")
+    if keys is None:
+        return None
+    return "dual" if "embed_norm" in keys else "single"
 
 
 class SincformerPipeline:
@@ -607,6 +616,9 @@ class SincformerPipeline:
         fa = _checkpoint_pa_fine_act(path)
         if fa and fa != self.model.pa_fine_act:
             overrides["pa_fine_act"] = fa
+        ff = _checkpoint_pa_fine_feats(path)
+        if ff and ff != self.model.pa_fine_feats:
+            overrides["pa_fine_feats"] = ff
         if overrides:
             self.model = self.model.clone(**overrides)
 

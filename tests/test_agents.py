@@ -102,6 +102,50 @@ class TestPerceptionAgentMXU:
         g = jax.grad(lambda p: jnp.sum(pa.apply(p, x)[0] ** 2))(params)
         assert float(jnp.sum(jnp.abs(g["params"]["act_mu"]))) > 0
 
+    def test_dual_fine_feats(self, rng):
+        """v5 ablation candidate: the dual variant adds a per-frame-
+        normalized fine-chunk stream (embed_norm in the param tree for
+        checkpoint autodetect) WITHOUT changing the output contract, and
+        gradients reach both embeds."""
+        from sincformer_tpu.agents.perception import PerceptionAgentMXU
+        x = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
+        single = PerceptionAgentMXU(encoder_channels=64, fine_act="mulaw")
+        p1 = single.init(jax.random.PRNGKey(0), x)
+        assert "embed_norm" not in p1["params"]
+        dual = PerceptionAgentMXU(encoder_channels=64, fine_act="mulaw",
+                                  fine_feats="dual")
+        p2 = dual.init(jax.random.PRNGKey(0), x)
+        assert "embed_norm" in p2["params"]
+        z_r, z_i, sigma = dual.apply(p2, x)
+        assert z_r.shape == (2, 64, 100)
+        assert bool(jnp.all(jnp.isfinite(z_r))) and bool(jnp.all(sigma > 0))
+        g = jax.grad(lambda p: jnp.sum(dual.apply(p, x)[0] ** 2))(p2)
+        for mod in ("embed", "embed_norm"):
+            leaves = jax.tree.leaves(g["params"][mod])
+            assert sum(float(jnp.sum(jnp.abs(le))) for le in leaves) > 0
+
+    def test_dual_fine_feats_checkpoint_autodetect(self, tmp_path):
+        from sincformer_tpu.train.agent_trainer import (
+            SincformerPipeline, _checkpoint_pa_fine_feats, default_metacog)
+        model = default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64, kernel_size=7,
+            dropout=0.0, memory_slots=4, sinc_kernel_size=65,
+            pa_fine_feats="dual")
+        pipe = SincformerPipeline(model=model, model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=4000)
+        path = pipe.save_model("sincformer_final")
+        assert _checkpoint_pa_fine_feats(path) == "dual"
+
+        # a default (single) pipeline resuming this checkpoint flips over
+        pipe2 = SincformerPipeline(model=default_metacog(
+            encoder_channels=32, cpea_hidden=16, cpea_channels=8,
+            d_model=32, msa_blocks=1, num_heads=2, d_ff=64, kernel_size=7,
+            dropout=0.0, memory_slots=4, sinc_kernel_size=65),
+            model_dir=str(tmp_path))
+        pipe2._match_model_to_checkpoint(path)
+        assert pipe2.model.pa_fine_feats == "dual"
+
     def test_metacog_runs_with_both_pa_impls(self, rng):
         from sincformer_tpu.train.agent_trainer import default_metacog
         n = 4000
