@@ -155,7 +155,13 @@ def stoi_full(clean, enhanced, fs: int = 8000, extended: bool = False) -> float:
         return 0.0
 
     if extended:
-        # extended STOI: row/column normalised segments, no clipping
+        # extended STOI (Jensen & Taal 2016): row/column normalised
+        # segments, no clipping; d_m = (1/N) Σ_n x̃_nᵀỹ_n over the N=30
+        # doubly-normalised frame columns. Dividing by N (not the band
+        # count) is what makes ESTOI(x, x) = 1 — the analytic self-score
+        # anchor that the independent witness cross-check enforces
+        # (tests/test_stoi_cross.py; both transcriptions originally
+        # carried the same 1/J slip, worth remembering).
         scores = []
         for m0 in range(_N_SEG, xb.shape[1] + 1):
             xseg = xb[:, m0 - _N_SEG:m0]
@@ -168,7 +174,7 @@ def stoi_full(clean, enhanced, fs: int = 8000, extended: bool = False) -> float:
             xn /= (np.linalg.norm(xn, axis=0, keepdims=True) + 1e-16)
             yn = (yn - yn.mean(0, keepdims=True))
             yn /= (np.linalg.norm(yn, axis=0, keepdims=True) + 1e-16)
-            scores.append(np.sum(xn * yn) / _NUMBAND)
+            scores.append(np.sum(xn * yn) / _N_SEG)
         return float(np.mean(scores))
 
     c = 10 ** (-_BETA / 20.0)

@@ -95,9 +95,11 @@ def _third_octave_matrix() -> np.ndarray:
 
 
 def stoi_independent(clean: np.ndarray, degraded: np.ndarray,
-                     fs: int = FS) -> float:
-    """STOI per Taal 2011. ``fs`` must be 10 kHz — this witness deliberately
-    has NO resampler so the cross-check isolates the core algorithm (the
+                     fs: int = FS, extended: bool = False) -> float:
+    """STOI per Taal 2011 (``extended=True``: ESTOI per Jensen & Taal
+    2016 — time- then band-normalized segment inner products, no
+    clipping). ``fs`` must be 10 kHz — this witness deliberately has NO
+    resampler so the cross-check isolates the core algorithm (the
     resampler is a separate conformance question)."""
     if fs != FS:
         raise ValueError(
@@ -120,8 +122,27 @@ def stoi_independent(clean: np.ndarray, degraded: np.ndarray,
     if m_frames < SEG:
         return float("nan")
 
-    clip = 10.0 ** (-BETA / 20.0)
     eps = np.finfo(np.float64).eps
+    if extended:
+        # ESTOI (Jensen & Taal 2016): for each 30-frame segment, remove
+        # means and normalize over TIME (rows), then over BANDS (columns);
+        # the intelligibility index is the mean elementwise inner product
+        # scaled by 1/J. No SDR clipping in the extended measure.
+        def _norm(a, axis):
+            a = a - np.mean(a, axis=axis, keepdims=True)
+            return a / (np.linalg.norm(a, axis=axis, keepdims=True) + eps)
+
+        # 1/N (frame count), NOT 1/J: the doubly-normalised frame columns
+        # are unit vectors, so ESTOI(x, x) = (1/N)·N = 1 exactly — the
+        # self-score anchor (tests/test_stoi_cross.py).
+        scores = []
+        for m in range(SEG, m_frames + 1):
+            xs = _norm(_norm(xb[:, m - SEG:m], 1), 0)
+            ys = _norm(_norm(yb[:, m - SEG:m], 1), 0)
+            scores.append(float(np.sum(xs * ys)) / SEG)
+        return float(np.mean(scores))
+
+    clip = 10.0 ** (-BETA / 20.0)
     d_sum = 0.0
     count = 0
     # sliding segments, hop ONE frame (paper: m = N .. M)

@@ -95,6 +95,22 @@ class TestCrossImplementation:
             b = stoi_independent(c, d, FS)
             assert abs(a - b) < 1e-6, (cut, a, b)
 
+    def test_extended_stoi_agreement(self):
+        """ESTOI path (time- then band-normalized inner products): same
+        cross-implementation bar as classic STOI."""
+        clean, cases = _cases()
+        for name, deg in cases.items():
+            a = stoi_full(clean, deg, FS, extended=True)
+            b = stoi_independent(clean, deg, FS, extended=True)
+            assert np.isfinite(a) and np.isfinite(b), name
+            assert abs(a - b) < 1e-6, (name, a, b)
+        # identical inputs → 1.0 on both
+        assert stoi_full(clean, clean, FS, extended=True) == pytest.approx(
+            1.0, abs=1e-9)
+        assert stoi_independent(clean, clean, FS,
+                                extended=True) == pytest.approx(1.0,
+                                                                abs=1e-9)
+
     def test_scores_monotone_in_snr_on_both(self):
         clean, cases = _cases()
         snrs = [-5.0, 0.0, 5.0, 10.0, 20.0]
