@@ -364,6 +364,16 @@ def main():
     timer.daemon = True
     timer.start()
 
+    try:
+        _run_benchmarks(timer)
+    except Exception as e:
+        # a mid-run tunnel death can RAISE (gRPC/XLA error) instead of
+        # hanging — still emit the one parseable line (VERDICT r3 #1)
+        timer.cancel()
+        _emit_unavailable(f"{type(e).__name__}: {e}")
+
+
+def _run_benchmarks(timer):
     ours = bench_ours()
     try:
         theirs = bench_reference()

@@ -139,9 +139,12 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         else:
             why = (f"T={q.shape[1]} does not divide the "
                    f"'{ctx[1]}' axis size {ctx[0].shape[ctx[1]]}")
-        if train:
+        if train and not quiet:
             # A CP TRAINING run that lost its ring would silently train
-            # single-chip; refuse instead (VERDICT r3 #6).
+            # single-chip; refuse instead (VERDICT r3 #6). quiet (a Flax
+            # init trace) exempts: init_state builds the param skeleton
+            # with train=True before any mesh context exists, and an init
+            # fallback affects no computation.
             raise RuntimeError(
                 f"attention impl='ring' requested in a training apply but "
                 f"{why}. Activate ops.ring_mesh(mesh, seq_axis) around the "

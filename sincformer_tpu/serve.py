@@ -109,7 +109,7 @@ class StreamingEnhancer:
         window, overlap = self.window, self.overlap
         hop = window - overlap
         gb = min(self.chunk_batch, c_pad)
-        state, apply = self._device_apply()
+        _, apply = self._device_apply()
         fade_in = jnp.asarray(self._fade_in)
         fade_out = jnp.asarray(self._fade_out)
         out_len = (c_pad - 1) * hop + window
@@ -146,7 +146,8 @@ class StreamingEnhancer:
     def _enhance_device_ola(self, noisy: np.ndarray) -> Optional[np.ndarray]:
         """Whole-file device OLA; None when the pipeline has no compatible
         core (caller falls back to the host path)."""
-        if self.device_ola is False or self._device_apply() is None:
+        da = self._device_apply()
+        if self.device_ola is False or da is None:
             return None
         import jax.numpy as jnp
         n = len(noisy)
@@ -158,8 +159,7 @@ class StreamingEnhancer:
         sig[:n] = noisy
         if c_pad not in self._stream_jit:
             self._stream_jit[c_pad] = self._stream_fn(c_pad)
-        state = self._device_apply()[0]
-        out = self._stream_jit[c_pad](state, jnp.asarray(sig),
+        out = self._stream_jit[c_pad](da[0], jnp.asarray(sig),
                                       jnp.asarray(n, jnp.int32))
         return np.asarray(out[:n], np.float32)
 

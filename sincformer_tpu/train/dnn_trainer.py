@@ -386,6 +386,13 @@ class DNNPipeline:
             resume_best = meta.get("best_val")
             resume_plateau = int(meta.get("plateau", 0))
             start_epoch = min(int(meta.get("epoch", -1)) + 1, epochs)
+            # seed the progress sidecar from the restored meta NOW: a
+            # resume that runs zero epochs (start_epoch >= epochs) is
+            # followed by the CLI's save_model(), which would otherwise
+            # rewrite the same step's meta WITHOUT the schedule state
+            self._progress = {k: meta[k] for k in
+                              ("lr", "plateau", "best_val", "epoch")
+                              if k in meta}
             if verbose:
                 print(f"  Resuming from {resume_path} at step "
                       f"{int(self.state.step)} → epoch "

@@ -102,6 +102,18 @@ class TestRingInModel:
         with pytest.raises(RuntimeError, match="training apply"):
             blk.apply(p, x, False)               # deterministic=False
 
+    def test_ring_model_init_with_train_true_does_not_raise(self, rng):
+        """Regression (round-4 review): init_state builds param skeletons
+        with train=True before any mesh context exists — a Flax INIT
+        trace must never hit the training-apply raise."""
+        from sincformer_tpu.models.conformer import ConformerBlock
+        blk = ConformerBlock(d_model=32, num_heads=2, d_ff=64,
+                             kernel_size=7, dropout=0.0, attn_impl="ring")
+        x = jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32)
+        p = blk.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, x, False)
+        assert p is not None
+
     def test_ring_init_without_context_is_silent(self, rng):
         """Flax init traces outside the ring context by design; it must
         not spam the MULTICHIP/dryrun tail (VERDICT r3 #6)."""
