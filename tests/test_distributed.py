@@ -64,13 +64,15 @@ def test_two_process_distributed(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_cli_distributed_evaluate(tmp_path):
-    """`evaluate --distributed` through the REAL CLI entry, 2 processes:
-    the (noise × SNR) cells are partitioned, evaluated, merged via the
-    shared out_dir barrier, and both workers print the grand table
-    (VERDICT r2 weak #4: the scale-out eval must be CLI-reachable)."""
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_multi_process_cli_distributed_evaluate(tmp_path, nproc):
+    """`evaluate --distributed` through the REAL CLI entry: the
+    (noise × SNR) cells are partitioned, evaluated, merged via the shared
+    out_dir barrier, and every worker prints the grand table (VERDICT r2
+    weak #4: the scale-out eval must be CLI-reachable). nproc=3 makes the
+    16-cell grid partition UNEVEN (6/5/5) — the remainder path of the
+    round-robin dealing."""
     port = _free_port()
-    nproc = 2
     procs = []
     for pid in range(nproc):
         env = {k: v for k, v in os.environ.items()
