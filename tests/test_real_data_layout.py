@@ -147,6 +147,16 @@ class TestEndToEndFromDisk:
             assert noise in out, f"{noise} missing from grid output"
         assert "falling back to synthetic" not in out
 
+        # file-level enhancement of a corpus WAV through the trained
+        # checkpoint (CLI enhance → StreamingEnhancer → device-OLA/batch)
+        src = find_speech_files(timit_dir=corpus["timit"])[0]
+        dst = os.path.join(corpus["root"], "enhanced.wav")
+        out = _cli(["enhance", src, dst, "--pcm16"], env)
+        assert "Enhanced" in out and os.path.exists(dst)
+        fs_out, data = wavfile.read(dst)
+        assert fs_out == 8000 and data.dtype == np.int16
+        assert len(data) > 0 and np.any(data != 0)
+
     def test_train_dnn_populates_feature_cache(self, corpus):
         env = _env(corpus["timit"], corpus["noisex"], corpus["root"])
         out = _cli(["train", "--pipeline", "dnn", "--epochs", "1",
