@@ -228,8 +228,9 @@ def bench_dnn_rtf() -> float:
     params = pipe.state.params
     mean = jnp.zeros(pipe.feature_dim, jnp.float32)
     std = jnp.ones(pipe.feature_dim, jnp.float32)
-    t_true = jnp.asarray(
-        (N - pipe.acfg.frame_size) // pipe.acfg.hop_size + 1, jnp.int32)
+    t_true = jnp.full(
+        (b,), (N - pipe.acfg.frame_size) // pipe.acfg.hop_size + 1,
+        jnp.int32)
 
     def enhance(params, mean, std, t_true, wav):
         return fn(params, wav, mean, std, t_true)

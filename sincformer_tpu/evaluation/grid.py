@@ -160,7 +160,8 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                     sb = np.resize(sb, (len(sb) + pad,) + sb.shape[1:])
                 cb = jax.device_put(cb, sh)
                 sb = jax.device_put(sb, sh)
-            vals = metrics_batch(cb, sb, metrics)
+            vals = metrics_batch(cb, sb, metrics,
+                             fs=cfg.DEFAULT.audio.sample_rate)
             n = len(clean_list)
             return [{k: float(vals[k][i]) for k in metrics}
                     for i in range(n)]
@@ -193,8 +194,16 @@ def evaluate_grid(clean_signals: Sequence[np.ndarray],
                     outs = {"noisy": noisy_b}
                     for name, pipe in pipelines.items():
                         try:
+                            # pipelines that mask per-row valid frames
+                            # (the DNN) take the true lengths so mixed-
+                            # length buckets match the serial path
+                            import inspect
+                            kw = {}
+                            if "lengths" in inspect.signature(
+                                    pipe.enhance_batch).parameters:
+                                kw["lengths"] = np.asarray(lengths)
                             outs[name] = np.asarray(
-                                pipe.enhance_batch(noisy_b))
+                                pipe.enhance_batch(noisy_b, **kw))
                         except Exception as e:
                             _record_failure(name, noise_name, snr, e)
                     for method, sig_b in outs.items():

@@ -255,7 +255,10 @@ def _find_utterances(vad: np.ndarray) -> List[Tuple[int, int]]:
             joined[-1] = (joined[-1][0], sec[1])
         else:
             joined.append(sec)
-    out = [s for s in joined if s[1] - s[0] >= MIN_UTTERANCE // 10]
+    # ≥ MIN_UTTERANCE (50 units = 200 ms), per the constant's definition:
+    # a shorter blip carries no alignment evidence and must not get its
+    # own fine-alignment delay (round-4 review — was MIN_UTTERANCE//10)
+    out = [s for s in joined if s[1] - s[0] >= MIN_UTTERANCE]
     return out or ([(0, len(speech))] if len(speech) else [])
 
 

@@ -457,6 +457,13 @@ class SincformerPipeline:
         eval_step = self._make_eval_step()
         key = jax.random.PRNGKey(self.seed + 10)
 
+        # validation data is epoch-invariant (epoch pinned to 0): mix it
+        # ONCE instead of re-running the host SNR-mixing pass per epoch
+        # (round-4 review)
+        test_ds = self.remix_for_stage(clean_test, noises,
+                                       list(cfg.DEFAULT.data.snr_levels),
+                                       max_len, 0)
+
         best_val = float("inf")
         if resume_path is not None and start_epoch > 0:
             # seed best_val from the PERSISTED best (sidecar written at
@@ -467,9 +474,6 @@ class SincformerPipeline:
             if meta and np.isfinite(meta.get("best_val", np.inf)):
                 best_val = float(meta["best_val"])
             else:
-                test_ds = self.remix_for_stage(
-                    clean_test, noises, list(cfg.DEFAULT.data.snr_levels),
-                    max_len, 0)
                 v = [eval_step(self.state, jnp.asarray(b["noisy"]),
                                jnp.asarray(b["clean"]))[0]
                      for b in batch_iterator(test_ds, batch_size,
@@ -506,9 +510,6 @@ class SincformerPipeline:
             train_ds = self.remix_for_stage(clean_train, noises,
                                             stage["snr_levels"], max_len,
                                             epoch)
-            test_ds = self.remix_for_stage(clean_test, noises,
-                                           list(cfg.DEFAULT.data.snr_levels),
-                                           max_len, 0)
             t0 = time.time()
             losses, sisnrs = [], []   # device scalars; one sync per epoch
             for batch in batch_iterator(train_ds, batch_size, shuffle=True,
@@ -548,8 +549,11 @@ class SincformerPipeline:
                 v_sisnrs.append(sisnr)
             finite = [i for i in range(len(v_losses))
                       if np.isfinite(float(v_losses[i]))]
+            # an all-NaN validation epoch must NEVER look like an
+            # improvement: inf (not 0.0) so a diverged model cannot
+            # overwrite the best checkpoint (round-4 review)
             va_loss = (float(np.mean([float(v_losses[i]) for i in finite]))
-                       if finite else 0.0)
+                       if finite else float("inf"))
             va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
                         if finite else 0.0)
 
@@ -662,6 +666,12 @@ class SincformerPipeline:
                        pad_quantum: int = 4000) -> np.ndarray:
         if self.state is None:
             raise RuntimeError("No model loaded.")
+        noisy_signal = np.asarray(noisy_signal)
+        if noisy_signal.dtype == np.int16:
+            # copying int16 into the f32 buffer would feed the model
+            # ±32768-scale samples (pcm_to_float only rescales raw int16
+            # tensors) — dequantize on host here (round-4 review)
+            noisy_signal = noisy_signal.astype(np.float32) / 32768.0
         n = len(noisy_signal)
         padded = int(np.ceil(n / pad_quantum) * pad_quantum)
         wav = np.zeros((1, padded), np.float32)

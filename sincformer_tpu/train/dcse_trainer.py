@@ -272,8 +272,10 @@ class DCSEPipeline:
                 v_sisnrs.append(sisnr)
             finite = [i for i in range(len(v_losses))
                       if np.isfinite(float(v_losses[i]))]
+            # all-NaN validation → inf, never a fake 0.0 "improvement"
+            # (round-4 review; a diverged model must not take the best slot)
             va_loss = (float(np.mean([float(v_losses[i]) for i in finite]))
-                       if finite else 0.0)
+                       if finite else float("inf"))
             va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
                         if finite else 0.0)
 
@@ -387,6 +389,11 @@ class DCSEPipeline:
         handful of compiled shapes."""
         if self.state is None:
             raise RuntimeError("No model loaded.")
+        noisy_signal = np.asarray(noisy_signal)
+        if noisy_signal.dtype == np.int16:
+            # int16 copied into the f32 pad buffer would bypass
+            # pcm_to_float's dtype dispatch (round-4 review)
+            noisy_signal = noisy_signal.astype(np.float32) / 32768.0
         n = len(noisy_signal)
         padded = int(np.ceil(n / pad_quantum) * pad_quantum)
         wav = np.zeros((1, padded), np.float32)

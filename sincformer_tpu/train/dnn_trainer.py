@@ -241,7 +241,8 @@ class DNNPipeline:
                        snr_levels: Sequence[float] | None = None,
                        test_fraction: float = 0.1,
                        use_cache: bool = False,
-                       host_workers: int | None = None
+                       host_workers: int | None = None,
+                       n_test: int | None = None
                        ) -> Tuple[FrameDataset, FrameDataset]:
         """In-memory data prep: round-robin (noise, SNR) per utterance
         (pipeline.py:423-436), 90/10 split.
@@ -266,7 +267,13 @@ class DNNPipeline:
             ck = None
             if use_cache:
                 h = hashlib.md5(np.asarray(clean).tobytes()).hexdigest()[:16]
-                ck = f"{h}_{snr}_{self.mask_type}"
+                # the noise IDENTITY must be part of the key: the same
+                # (clean, snr, mask_type) mixed with a different noise is
+                # different data, and the round-robin assignment shifts
+                # whenever the noise bank changes (round-4 review)
+                hn = hashlib.md5(
+                    np.asarray(noise[:16000]).tobytes()).hexdigest()[:8]
+                ck = f"{h}_{hn}_{snr}_{self.mask_type}"
             return process_single_utterance(
                 np.asarray(clean, np.float32), noise, snr, self.mask_type,
                 self.fe, self.gfb,
@@ -285,7 +292,16 @@ class DNNPipeline:
             outs = [job(j) for j in jobs]
         feats = [o[0] for o in outs if o is not None]
         masks = [o[1] for o in outs if o is not None]
-        split = max(1, int(len(feats) * (1 - test_fraction)))
+        if n_test is not None:
+            # exact split boundary: the LAST n_test jobs are the held-out
+            # files; count their surviving outputs so dropped/failed
+            # utterances can never shift test data into the train set
+            # (round-4 review)
+            n_te_ok = (sum(1 for o in outs[-n_test:] if o is not None)
+                       if n_test else 0)
+            split = max(1, len(feats) - n_te_ok)
+        else:
+            split = max(1, int(len(feats) * (1 - test_fraction)))
         train = FrameDataset(feats[:split], masks[:split])
         self.feat_mean, self.feat_std = train.feat_mean, train.feat_std
         test = FrameDataset(feats[split:], masks[split:],
@@ -305,14 +321,25 @@ class DNNPipeline:
         train_files = [files[i] for i in idx[:split]][:max_train]
         test_files = [files[i] for i in idx[split:]][:max_test]
         noises = load_noise_signals(self.fs)
+        # load per split so failed loads cannot shift the seeded 90/10
+        # boundary (round-4 review): the boundary is the count of TRAIN
+        # files that actually loaded, passed explicitly as n_test
         signals = []
-        for f in train_files + test_files:
+        for f in train_files:
             try:
                 signals.append(load_audio(f, self.fs))
             except Exception:
                 continue
+        n_test_loaded = 0
+        for f in test_files:
+            try:
+                signals.append(load_audio(f, self.fs))
+                n_test_loaded += 1
+            except Exception:
+                continue
         frac = len(test_files) / max(len(train_files) + len(test_files), 1)
         return self.prepare_arrays(signals, noises, test_fraction=frac,
+                                   n_test=n_test_loaded,
                                    use_cache=True)
 
     # ── training ────────────────────────────────────────────────────────
@@ -433,6 +460,9 @@ class DNNPipeline:
             return jnp.mean((pred - masks) ** 2)
 
         n = len(train_ds)
+        # small datasets: shrink the batch instead of crashing on the
+        # (nb, batch_size, ·) reshape when n < batch_size (round-4 review)
+        batch_size = max(1, min(batch_size, n))
         nb = max(1, n // batch_size)
         usable = nb * batch_size
         rng_np = np.random.default_rng(self.seed)
@@ -656,9 +686,15 @@ class DNNPipeline:
                  jnp.asarray(t_true, jnp.int32))
         return np.asarray(out[:n_true], np.float32)
 
-    def enhance_batch(self, noisy: np.ndarray) -> np.ndarray:
+    def enhance_batch(self, noisy: np.ndarray,
+                      lengths: np.ndarray | None = None) -> np.ndarray:
         """Batched enhancement (B, N) → (B, N): the single-utterance jitted
-        program vmapped over the batch (enables the grid fast path)."""
+        program vmapped over the batch (enables the grid fast path).
+
+        ``lengths``: optional (B,) TRUE sample counts for rows padded to a
+        common N — each row's valid-frame mask then matches what
+        enhance_signal computes for it unpadded, so batched and serial
+        grids agree even on mixed-length buckets (round-4 review)."""
         if self.state is None:
             raise RuntimeError("No model loaded. Call load_model() first.")
         noisy = np.asarray(noisy)
@@ -667,7 +703,13 @@ class DNNPipeline:
         else:
             noisy = noisy.astype(np.float32)
         b, n = noisy.shape
-        t_true = (n - self.acfg.frame_size) // self.acfg.hop_size + 1
+        frame, hop = self.acfg.frame_size, self.acfg.hop_size
+        if lengths is None:
+            t_true = np.full((b,), (n - frame) // hop + 1, np.int32)
+        else:
+            t_true = np.maximum(
+                (np.asarray(lengths, np.int64) - frame) // hop + 1,
+                1).astype(np.int32)
         mean = (self.feat_mean if self.feat_mean is not None
                 else np.zeros(self.feature_dim, np.float32))
         std = (self.feat_std if self.feat_std is not None
@@ -683,9 +725,9 @@ class DNNPipeline:
             self._enh_jit[key] = functools.partial(
                 jax.jit, device=self._accel_device())(jax.vmap(
                     self._enhance_core(n),
-                    in_axes=(None, 0, None, None, None)))
+                    in_axes=(None, 0, None, None, 0)))
         out = self._enh_jit[key](self.state.params, jnp.asarray(noisy),
                                  jnp.asarray(mean, jnp.float32),
                                  jnp.asarray(std, jnp.float32),
-                                 jnp.asarray(t_true, jnp.int32))
+                                 jnp.asarray(t_true))
         return np.asarray(out, np.float32)

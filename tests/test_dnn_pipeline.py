@@ -195,6 +195,30 @@ class TestDNNTraining:
 
 
 class TestBatchedEnhance:
+    def test_mixed_length_batch_matches_serial(self, tiny_data, tmp_path):
+        """Round-4 review #4: rows padded to a common length must use
+        their OWN valid-frame counts — batched output over a mixed-length
+        bucket equals the serial enhance_signal of each unpadded row."""
+        clean, noises = tiny_data
+        pipe = DNNPipeline(mask_type="pcirm", use_rbm_pretrain=False,
+                           model_dir=str(tmp_path))
+        train, test = pipe.prepare_arrays(clean[:4], noises)
+        pipe.train(train, test, epochs=1, batch_size=64, verbose=False)
+        rng = np.random.default_rng(5)
+        lens = [4000, 3210, 2400]
+        sigs = [rng.standard_normal(n).astype(np.float32) * 0.3
+                for n in lens]
+        q = 4000
+        batch = np.stack([np.pad(s, (0, q - len(s))) for s in sigs])
+        out_b = pipe.enhance_batch(batch, lengths=np.asarray(lens))
+        for row, s in enumerate(sigs):
+            serial = pipe.enhance_signal(s, pad_quantum=q)
+            # rtol covers vmap-vs-single fusion-order float noise; a
+            # valid-frame mask bug shows up as O(1) magnitude differences
+            np.testing.assert_allclose(out_b[row, :len(s)], serial,
+                                       rtol=2e-3, atol=1e-4,
+                                       err_msg=str(lens[row]))
+
     def test_enhance_batch_matches_single(self, tiny_data, tmp_path):
         clean, noises = tiny_data
         pipe = DNNPipeline(mask_type="irm", use_rbm_pretrain=False,
