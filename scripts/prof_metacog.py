@@ -91,7 +91,7 @@ def prof(cpea_impl):
 
     @jax.jit
     def cp_fn(z):
-        out = cp.apply(cp_p, z)
+        out = cp.apply(cp_p, z, channels_first=True)
         return z + jnp.mean(out["rho_s"]) * 0
 
     print(f"  CPEA ({cpea_impl:4s}):        {chain(cp_fn, zr)*1e3:8.2f} ms")

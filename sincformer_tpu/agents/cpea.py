@@ -87,9 +87,29 @@ class CorrelationPhaseEstimationAgent(nn.Module):
     unroll: int = 8         # lstm scan unroll factor
 
     @nn.compact
-    def __call__(self, z_t: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        if z_t.ndim == 3 and z_t.shape[-1] != self.input_dim:
-            z_t = jnp.swapaxes(z_t, 1, 2)                # (B, T, D)
+    def __call__(self, z_t: jnp.ndarray,
+                 channels_first: bool | None = None
+                 ) -> Dict[str, jnp.ndarray]:
+        if z_t.ndim == 3:
+            # Explicit layout beats inference: the old shape heuristic
+            # silently misread channels-first input whenever T happened to
+            # equal input_dim (round-4 review). None = infer, but the
+            # undecidable square case now raises instead of guessing.
+            d_mid = z_t.shape[1] == self.input_dim
+            d_last = z_t.shape[-1] == self.input_dim
+            if channels_first is None:
+                if d_mid and d_last:
+                    raise ValueError(
+                        f"CPEA input {z_t.shape} is square in input_dim="
+                        f"{self.input_dim}; pass channels_first=True for "
+                        f"(B, D, T) or False for (B, T, D)")
+                if not d_mid and not d_last:
+                    raise ValueError(
+                        f"CPEA input {z_t.shape} has no axis of size "
+                        f"input_dim={self.input_dim}")
+                channels_first = d_mid
+            if channels_first:
+                z_t = jnp.swapaxes(z_t, 1, 2)            # → (B, T, D)
         x = z_t
         if self.impl == "ssm":
             from sincformer_tpu.agents.ssm import BiLRU

@@ -53,6 +53,11 @@ class MetacognitiveArbitrationAgent(nn.Module):
         if sigma.ndim == 3:
             sigma = sigma[:, 0, :]                        # (B, T)
 
+        # Parity note: the reference's "learnable threshold τ" is a DEAD
+        # parameter — created (maa.py:52) and returned (maa.py:117) but
+        # consumed by no computation, so it can never receive a gradient.
+        # Reproduced as-is for checkpoint/contract parity; consumers of
+        # routing["threshold"] get the init value (0.5) by design.
         threshold = self.param(
             "threshold", lambda *_: jnp.asarray([self.initial_threshold]))
 

@@ -110,7 +110,7 @@ class SincformerMetacog(nn.Module):
         cpea = CorrelationPhaseEstimationAgent(
             self.encoder_channels, self.cpea_hidden, self.cpea_layers,
             self.cpea_channels, impl=self.cpea_impl,
-            name="cpea")(z_real_t)
+            name="cpea")(z_real_t, channels_first=True)
 
         # ── MSA (bounded polar mask) ─────────────────────────────────────
         msa = MaskSynthesisAgent(

@@ -220,21 +220,27 @@ def batch_iterator(ds: WaveformDataset, batch_size: int,
     # Full batches ride their own bucket shape; per-bucket remainders are
     # pooled and re-padded to the LARGEST bucket shape, so the compiled
     # shape set stays {one per bucket} instead of {one per partial size}.
+    # Batch EMISSION order is shuffled across buckets (round-4 review):
+    # ascending-length emission every epoch systematically biases SGD
+    # (short utterances always first, long always last) and differs from
+    # the parity mode for reasons unrelated to padding density.
     remainder: List[int] = []
-    emitted = False
     q_max = max(buckets)
+    batches: List[Tuple[List[int], int]] = []
     for q in sorted(buckets):
         idxs = buckets[q]
         full_end = (len(idxs) // batch_size) * batch_size
         for s in range(0, full_end, batch_size):
-            yield _emit(idxs[s:s + batch_size], q)
-            emitted = True
+            batches.append((idxs[s:s + batch_size], q))
         remainder.extend(idxs[full_end:])
     for s in range(0, len(remainder), batch_size):
         idx = remainder[s:s + batch_size]
-        # drop a trailing partial only if something was already emitted —
+        # drop a trailing partial only if something else exists —
         # a small dataset must not silently yield zero batches
-        if len(idx) < batch_size and drop_last and (emitted or s > 0):
+        if len(idx) < batch_size and drop_last and batches:
             break
-        yield _emit(idx, q_max)
-        emitted = True
+        batches.append((idx, q_max))
+    emit_order = (rng.permutation(len(batches)) if shuffle
+                  else range(len(batches)))
+    for bi in emit_order:
+        yield _emit(*batches[bi])

@@ -73,12 +73,8 @@ def _flash_available() -> bool:
         import jax.experimental.pallas.ops.tpu.flash_attention  # noqa: F401
     except Exception:  # pragma: no cover
         return False
-    # honour an explicit CPU default device (tests pin it even though the
-    # TPU backend stays registered)
-    dev = jax.config.jax_default_device
-    if dev is not None:
-        return getattr(dev, "platform", None) == "tpu"
-    return jax.default_backend() == "tpu"
+    from sincformer_tpu.utils.backend import on_tpu
+    return on_tpu()
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -277,9 +277,8 @@ def conv_gn_reference(x, w, b, gamma, beta, skip=None, *, stride: int,
 
 
 def _use_pallas() -> bool:
-    dev = jax.config.jax_default_device
-    platform = getattr(dev, "platform", None) or jax.default_backend()
-    return platform == "tpu"
+    from sincformer_tpu.utils.backend import on_tpu
+    return on_tpu()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

@@ -115,9 +115,8 @@ _env_act_tpu.defvjp(_env_act_fwd, _env_act_bwd)
 
 
 def _on_tpu() -> bool:
-    dev = jax.config.jax_default_device
-    platform = getattr(dev, "platform", None) or jax.default_backend()
-    return platform == "tpu"
+    from sincformer_tpu.utils.backend import on_tpu
+    return on_tpu()
 
 
 def env_act_auto(x: jnp.ndarray, scale: jnp.ndarray):

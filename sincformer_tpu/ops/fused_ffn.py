@@ -122,10 +122,8 @@ def fused_ffn(x, ln_g, ln_b, w1, b1, w2, b2):
 
 
 def _use_pallas() -> bool:
-    dev = jax.config.jax_default_device
-    platform = (getattr(dev, "platform", None)
-                or jax.default_backend())
-    return platform == "tpu"
+    from sincformer_tpu.utils.backend import on_tpu
+    return on_tpu()
 
 
 def _fused_ffn_fwd_impl(x, ln_g, ln_b, w1, b1, w2, b2):

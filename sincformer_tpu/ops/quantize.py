@@ -78,9 +78,8 @@ def _quantize_pallas(x, seed, interpret=False):
 
 
 def _on_tpu() -> bool:
-    dev = jax.config.jax_default_device
-    return (getattr(dev, "platform", None)
-            or jax.default_backend()) == "tpu"
+    from sincformer_tpu.utils.backend import on_tpu
+    return on_tpu()
 
 
 def quantize_int8(x: jnp.ndarray, seed: int = 0,

@@ -38,8 +38,7 @@ def _ring_body(q, k, v, axis_name: str, n_devices: int, scale: float):
     acc = jnp.zeros_like(qh)
     perm = [(j, (j + 1) % n_devices) for j in range(n_devices)]
 
-    def step(_, carry):
-        m, l, acc, kc, vc = carry
+    def accumulate(m, l, acc, kc, vc):
         kh = jnp.swapaxes(kc, 1, 2).astype(jnp.float32)  # (B, H, Tk, Dh)
         vh = jnp.swapaxes(vc, 1, 2).astype(jnp.float32)
         s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
@@ -51,12 +50,23 @@ def _ring_body(q, k, v, axis_name: str, n_devices: int, scale: float):
         acc = acc * corr[..., None] + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vh,
             precision=jax.lax.Precision.HIGHEST)
+        return m_new, l, acc
+
+    def step(_, carry):
+        m, l, acc, kc, vc = carry
+        m, l, acc = accumulate(m, l, acc, kc, vc)
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return m_new, l, acc, kc, vc
+        return m, l, acc, kc, vc
 
-    m, l, acc, _, _ = jax.lax.fori_loop(0, n_devices, step,
-                                        (m, l, acc, k, v))
+    # n-1 process+permute hops, then the FINAL block without the permute:
+    # the old n-iteration loop shipped one extra K+V block around the ICI
+    # ring whose result was discarded (round-4 review)
+    kc, vc = k, v
+    if n_devices > 1:
+        m, l, acc, kc, vc = jax.lax.fori_loop(0, n_devices - 1, step,
+                                              (m, l, acc, k, v))
+    m, l, acc = accumulate(m, l, acc, kc, vc)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)       # (B, Tl, H, Dh)
 

@@ -155,9 +155,8 @@ def _reference(q, k, v, bias4, sm_scale):
 
 
 def _use_pallas() -> bool:
-    dev = jax.config.jax_default_device
-    platform = getattr(dev, "platform", None) or jax.default_backend()
-    return platform == "tpu"
+    from sincformer_tpu.utils.backend import on_tpu
+    return on_tpu()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
