@@ -123,11 +123,14 @@ def train(args):
         print("=" * 70)
         pipe = DCSEPipeline()
         if synthetic_n:
-            from sincformer_tpu.data.loader import WaveformDataset
+            from sincformer_tpu.data.loader import (WaveformDataset,
+                                                    heldout_noises)
             clean, noises = _synthetic_corpus(synthetic_n)
             split = max(1, int(0.9 * len(clean)))
             train_ds = WaveformDataset.from_arrays(clean[:split], noises)
-            test_ds = WaveformDataset.from_arrays(clean[split:], noises)
+            # val mixes with held-out noise crops (loader.heldout_noises)
+            test_ds = WaveformDataset.from_arrays(clean[split:],
+                                                  heldout_noises(noises))
         else:
             train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
                                                   max_test=args.max_test)
@@ -293,6 +296,69 @@ def enhance(args):
           f"({dt:.2f}s wall, {total_s / max(dt, 1e-9):.1f}x realtime)")
 
 
+def calibrate(args):
+    """Post-hoc output-gain calibration of an already-trained checkpoint.
+
+    The SI-SNR-dominated training losses leave the models' absolute output
+    level only weakly anchored, and it drifts with long training (measured:
+    2.2 dB SSNR on the 150-epoch run — scripts/probe_gain_drift.py). New
+    training runs self-calibrate every epoch; this command retrofits the
+    persisted ``output_gain`` onto checkpoints saved before the feature (or
+    after data drift) by fitting the scalar on a held-out mixture set —
+    the TIMIT val split when datasets exist, the synthetic corpus's val
+    tail otherwise."""
+    import numpy as np
+
+    from sincformer_tpu import config as cfg
+    from sincformer_tpu.data import load_audio
+    from sincformer_tpu.data.loader import (find_speech_files,
+                                            heldout_noises,
+                                            load_noise_signals,
+                                            train_test_split)
+
+    fs = cfg.DEFAULT.audio.sample_rate
+    files = find_speech_files()
+    if files and not getattr(args, "synthetic", False):
+        # TIMIT val split, mixed with held-out noise crops — the gain must
+        # be fitted under deployment-like conditions, never on the training
+        # noise realization the model has memorized (loader.heldout_noises)
+        _, te_files = train_test_split(files, max_test=args.samples)
+        clean = [load_audio(f, fs) for f in te_files]
+        noises = heldout_noises(load_noise_signals(fs))
+        print(f"  Calibration set: {len(clean)} TIMIT val utterances "
+              f"(held-out noise crops)")
+    else:
+        # synthetic: grid-eval-protocol utterances under a seed disjoint
+        # from both the training corpus (seed 42/7) and the grid's own
+        # eval draw, mixed with a fresh noise realization
+        from sincformer_tpu.data.synthetic import synthetic_speech
+        rng = np.random.default_rng(cfg.DEFAULT.data.eval_sample_seed + 1)
+        clean = [synthetic_speech(2.0) * (0.7 + 0.6 * rng.random())
+                 for _ in range(args.samples)]
+        noises = {"white": (rng.standard_normal(fs * 30) * 0.3
+                            ).astype(np.float32)}
+        print(f"  Calibration set: {len(clean)} synthetic utterances "
+              f"(fresh noise realization)")
+
+    which = getattr(args, "model", "sincformer")
+    if which == "sincformer":
+        from sincformer_tpu.train.agent_trainer import SincformerPipeline
+        pipe = SincformerPipeline()
+        pipe.load_model()
+        before = pipe.output_gain
+        after = pipe.calibrate_gain(clean, noises)
+    else:
+        from sincformer_tpu.data.loader import WaveformDataset
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+        pipe = DCSEPipeline()
+        pipe.load_model()
+        before = pipe.output_gain
+        ds = WaveformDataset.from_arrays(clean, noises)
+        after = pipe.calibrate_gain(ds)
+    print(f"  Output gain: {before:.4f} → {after:.4f} "
+          f"(persisted in the checkpoint sidecar)")
+
+
 def info(args):
     """System/config info (reference main.py:445-471)."""
     import jax
@@ -388,6 +454,16 @@ def main(argv=None):
                               "opt_pcirm", "irm"],
                      help="Model to use (default: best available)")
 
+    cp = sub.add_parser("calibrate",
+                        help="Fit + persist the output-gain calibration "
+                             "for a trained checkpoint")
+    cp.add_argument("--model", default="sincformer",
+                    choices=["sincformer", "conformer"])
+    cp.add_argument("--samples", type=int, default=8,
+                    help="held-out utterances to fit the gain on")
+    cp.add_argument("--synthetic", action="store_true",
+                    help="force the synthetic corpus even if TIMIT exists")
+
     sub.add_parser("info", help="Print system configuration")
     # the `test` alias the reference's usage string promises (main.py:6)
     tstp = sub.add_parser("test", help="Alias for evaluate")
@@ -402,6 +478,8 @@ def main(argv=None):
         evaluate(args)
     elif args.command == "enhance":
         enhance(args)
+    elif args.command == "calibrate":
+        calibrate(args)
     elif args.command == "info":
         info(args)
     else:

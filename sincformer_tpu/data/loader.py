@@ -78,6 +78,21 @@ def load_noise_signals(fs: int | None = None,
     return noises
 
 
+def heldout_noises(noises: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Disjoint noise crops for validation / calibration mixtures.
+
+    ``add_noise_at_snr`` always crops ``noise[:len(clean)]`` (reference
+    parity, pipeline.py:71-94), so every training epoch reuses the exact
+    same leading noise samples — and the model memorizes that realization:
+    measured on the 150-epoch flagship run, the oracle output gain is 1.65
+    on training-crop mixtures vs 1.23 on any fresh noise, i.e. val scores
+    computed on the training crop overstate quality. Rotating each noise
+    array by half its length makes validation crops come from the tail
+    half — disjoint from every training crop shorter than half the array."""
+    return {k: np.roll(np.asarray(v, np.float32), len(v) // 2)
+            for k, v in noises.items()}
+
+
 def train_test_split(files: Sequence[str], seed: int = 42,
                      train_fraction: float = 0.9,
                      max_train: int | None = None,

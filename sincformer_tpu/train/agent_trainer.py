@@ -35,11 +35,14 @@ from sincformer_tpu.train.curriculum import CurriculumScheduler
 from sincformer_tpu.train.losses import (PerceptualSTOILoss, mse_mask_loss,
                                          multi_resolution_stft_loss,
                                          si_snr_loss)
-from sincformer_tpu.train.state import (TrainState, guard_nan_update,
+from sincformer_tpu.train.state import (VAL_PROTOCOL as _VAL_PROTOCOL,
+                                        TrainState, guard_nan_update,
                                         latest_step_dir, make_adamw,
-                                        newest_checkpoint, read_train_meta,
-                                        restore_checkpoint, save_checkpoint,
-                                        write_train_meta)
+                                        merge_train_meta, newest_checkpoint,
+                                        read_train_meta, restore_checkpoint,
+                                        resolve_output_gain as
+                                        _resolve_output_gain,
+                                        save_checkpoint)
 
 
 def default_metacog(acfg: cfg.AudioConfig = cfg.DEFAULT.audio,
@@ -168,6 +171,17 @@ class SincformerPipeline:
         self.state: Optional[TrainState] = None
         self.curriculum = CurriculumScheduler()
         self._enhance_jit = {}
+        # Validation-calibrated output gain. The SI-SNR term that dominates
+        # the curriculum loss is scale-invariant, so the model's absolute
+        # output level is only weakly anchored (by the mag-L1/MR-STFT terms)
+        # and drifts with long training — measured: the 150-epoch run's
+        # oracle gain drifted to 1.256, costing 2.2 dB SSNR that a single
+        # scalar recovers (scripts/probe_gain_drift.py). The train loop
+        # recomputes this on the val set every epoch and persists it in the
+        # checkpoint sidecar; inference applies it. Scale-invariant metrics
+        # are untouched by construction.
+        self.output_gain = 1.0
+        self._loaded_ckpt_path: str | None = None
         os.makedirs(self.model_dir, exist_ok=True)
 
     # ── state ───────────────────────────────────────────────────────────
@@ -289,7 +303,7 @@ class SincformerPipeline:
             total = total + use_adv * self.adv_weight * g_loss
         aux = {"sisnr": -loss_sisnr, "stoi_loss": loss_stoi,
                "vq_loss": out["vq_loss"], "enh_mag": enh_mag,
-               "clean_mag": clean_mag,
+               "clean_mag": clean_mag, "enh_wav": enh_wav,
                "model_state": new_model_state}
         return total, aux
 
@@ -361,7 +375,14 @@ class SincformerPipeline:
             loss, aux = loss_fn(state.params, state.model_state, noisy,
                                 clean, jax.random.PRNGKey(0), False,
                                 jnp.asarray(1.0), jnp.asarray(1.0))
-            return loss, aux["sisnr"]
+            # per-utterance oracle output gain α* = ⟨clean,enh⟩/‖enh‖²,
+            # aggregated as a geometric mean (gain is multiplicative);
+            # clipped so a silent/degenerate utterance can't poison it
+            enh = aux["enh_wav"]
+            alpha = (jnp.sum(clean * enh, -1)
+                     / (jnp.sum(enh * enh, -1) + 1e-12))
+            log_alpha = jnp.mean(jnp.log(jnp.clip(alpha, 1e-3, 1e3)))
+            return loss, aux["sisnr"], log_alpha
 
         return step
 
@@ -459,8 +480,12 @@ class SincformerPipeline:
 
         # validation data is epoch-invariant (epoch pinned to 0): mix it
         # ONCE instead of re-running the host SNR-mixing pass per epoch
-        # (round-4 review)
-        test_ds = self.remix_for_stage(clean_test, noises,
+        # (round-4 review). Mixed with HELD-OUT noise crops: training always
+        # crops noise[:len] (reference parity), and a model memorizes that
+        # exact realization — val on the same crop overstates quality and
+        # biases the output-gain calibration (measured 1.65 vs 1.23).
+        from sincformer_tpu.data.loader import heldout_noises
+        test_ds = self.remix_for_stage(clean_test, heldout_noises(noises),
                                        list(cfg.DEFAULT.data.snr_levels),
                                        max_len, 0)
 
@@ -469,9 +494,12 @@ class SincformerPipeline:
             # seed best_val from the PERSISTED best (sidecar written at
             # every best-save) so the resumed run can't overwrite
             # best_sincformer with a worse model; fall back to evaluating
-            # the restored model for pre-sidecar checkpoints
+            # the restored model for pre-sidecar checkpoints — or ones whose
+            # best_val was computed under an older val-mixing protocol
+            # (val losses across protocols aren't comparable)
             meta = read_train_meta(self.model_dir, "best_sincformer")
-            if meta and np.isfinite(meta.get("best_val", np.inf)):
+            if (meta and np.isfinite(meta.get("best_val", np.inf))
+                    and meta.get("val_protocol") == _VAL_PROTOCOL):
                 best_val = float(meta["best_val"])
             else:
                 v = [eval_step(self.state, jnp.asarray(b["noisy"]),
@@ -539,14 +567,15 @@ class SincformerPipeline:
             tr_loss = float(sum(losses) / n_b) if n_b else 0.0
             tr_sisnr = float(sum(sisnrs) / n_b) if n_b else 0.0
 
-            v_losses, v_sisnrs = [], []
+            v_losses, v_sisnrs, v_lgains = [], [], []
             for batch in batch_iterator(test_ds, batch_size, shuffle=False,
                                         drop_last=False):
-                loss, sisnr = eval_step(self.state,
-                                        jnp.asarray(batch["noisy"]),
-                                        jnp.asarray(batch["clean"]))
+                loss, sisnr, lgain = eval_step(self.state,
+                                               jnp.asarray(batch["noisy"]),
+                                               jnp.asarray(batch["clean"]))
                 v_losses.append(loss)
                 v_sisnrs.append(sisnr)
+                v_lgains.append(lgain)
             finite = [i for i in range(len(v_losses))
                       if np.isfinite(float(v_losses[i]))]
             # an all-NaN validation epoch must NEVER look like an
@@ -556,14 +585,23 @@ class SincformerPipeline:
                        if finite else float("inf"))
             va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
                         if finite else 0.0)
+            lg = [float(v_lgains[i]) for i in finite
+                  if np.isfinite(float(v_lgains[i]))]
+            if lg:
+                # this epoch's params ↔ this epoch's calibration; save_model
+                # persists it in the sidecar so best/final both carry the
+                # gain matching their own weights
+                self.output_gain = float(np.exp(np.mean(lg)))
+                self._enhance_jit.clear()
 
             improved = va_loss < best_val
             if improved:
                 best_val = va_loss
                 self.save_model("best_sincformer")
-                write_train_meta(self.model_dir, "best_sincformer",
+                merge_train_meta(self.model_dir, "best_sincformer",
                                  {"best_val": va_loss, "epoch": epoch,
-                                  "step": int(self.state.step)})
+                                  "step": int(self.state.step),
+                                  "val_protocol": _VAL_PROTOCOL})
             entry = {"epoch": epoch, "stage": stage.get("stage"),
                      "train_loss": tr_loss, "val_loss": va_loss,
                      "val_sisnr": va_sisnr,
@@ -595,6 +633,8 @@ class SincformerPipeline:
                 step=int(self.state.step))
         path = save_checkpoint(os.path.join(self.model_dir, name),
                                self.state, step=int(self.state.step))
+        merge_train_meta(self.model_dir, name,
+                         {"output_gain": float(self.output_gain)})
         if self.disc_state is not None:
             # sibling family, keyed by the GENERATOR's step so resume can
             # pair them (VERDICT r3 #7)
@@ -639,15 +679,63 @@ class SincformerPipeline:
             self._match_model_to_checkpoint(path)
             self.init_state(epochs=1, steps_per_epoch=1)
         self.state = restore_checkpoint(path, self.state)
+        self._loaded_ckpt_path = path
+        self.output_gain = _resolve_output_gain(path)
+        self._enhance_jit.clear()
         return path
+
+    def calibrate_gain(self, clean_signals: Sequence[np.ndarray],
+                       noises: Dict[str, np.ndarray],
+                       batch_size: int = 8,
+                       max_len: int | None = None,
+                       persist: bool = True) -> float:
+        """Post-hoc output-gain calibration for an already-trained
+        checkpoint (checkpoints saved before this feature, or after data
+        drift): fit the single scalar g minimising the log-gain error
+        between ``g·enhance(noisy)`` and clean on a held-out mixture set,
+        then apply it to this pipeline and (optionally) persist it in the
+        loaded checkpoint's sidecar so every later load picks it up.
+
+        The residual is measured THROUGH the current gain, so calibration
+        composes: new_gain = old_gain · exp(mean log α_residual). Mixtures
+        use held-out noise crops (data.loader.heldout_noises) — fitting on
+        the training noise realization the model memorized would bias the
+        gain (measured: 1.65 vs 1.23 on the 150-epoch run)."""
+        if self.state is None:
+            raise RuntimeError("No model loaded.")
+        from sincformer_tpu.data.loader import heldout_noises
+        max_len = max_len or 2 * self.fs
+        ds = self.remix_for_stage(clean_signals, heldout_noises(noises),
+                                  list(cfg.DEFAULT.data.snr_levels),
+                                  max_len, 0)
+        logs = []
+        for batch in batch_iterator(ds, batch_size, shuffle=False,
+                                    drop_last=False):
+            enh = self.enhance_batch(batch["noisy"].astype(np.float32))
+            for i, n in enumerate(batch["lengths"]):
+                e, c = enh[i, :n], batch["clean"][i, :n]
+                alpha = float(np.dot(c, e) / (np.dot(e, e) + 1e-12))
+                if np.isfinite(alpha) and 1e-3 < alpha < 1e3:
+                    logs.append(np.log(alpha))
+        if not logs:
+            return float(self.output_gain)
+        self.output_gain = float(self.output_gain * np.exp(np.mean(logs)))
+        self._enhance_jit.clear()
+        if persist and self._loaded_ckpt_path is not None:
+            fam = os.path.dirname(os.path.abspath(self._loaded_ckpt_path))
+            merge_train_meta(os.path.dirname(fam), os.path.basename(fam),
+                             {"output_gain": float(self.output_gain)})
+        return float(self.output_gain)
 
     # ── inference ───────────────────────────────────────────────────────
 
     def _enhance_fn(self, padded_len: int):
-        if padded_len not in self._enhance_jit:
+        key = (padded_len, float(self.output_gain))
+        if key not in self._enhance_jit:
             n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                                  self.acfg.frame_size)
             model = self.model
+            gain = float(self.output_gain)   # val-calibrated, trace constant
 
             @jax.jit
             def fn(params, model_state, wav):
@@ -656,11 +744,12 @@ class SincformerPipeline:
                 spec = stft(wav, n_fft, hop, frame)
                 out = model.apply({"params": params, **model_state},
                                   wav, spec.real, spec.imag, train=False)
-                return istft(out["enhanced_real"] + 1j * out["enhanced_imag"],
-                             n_fft, hop, frame, length=wav.shape[-1])
+                enh = istft(out["enhanced_real"] + 1j * out["enhanced_imag"],
+                            n_fft, hop, frame, length=wav.shape[-1])
+                return enh * gain if gain != 1.0 else enh
 
-            self._enhance_jit[padded_len] = fn
-        return self._enhance_jit[padded_len]
+            self._enhance_jit[key] = fn
+        return self._enhance_jit[key]
 
     def enhance_signal(self, noisy_signal: np.ndarray,
                        pad_quantum: int = 4000) -> np.ndarray:

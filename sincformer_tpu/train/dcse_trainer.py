@@ -32,9 +32,12 @@ from sincformer_tpu.train.losses import (multi_resolution_stft_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
                                         latest_step_dir, make_adamw,
+                                        VAL_PROTOCOL, merge_train_meta,
                                         newest_checkpoint, read_train_meta,
-                                        restore_checkpoint, save_checkpoint,
-                                        write_train_meta)
+                                        restore_checkpoint,
+                                        resolve_output_gain as
+                                        _resolve_output_gain,
+                                        save_checkpoint)
 
 
 class DCSEPipeline:
@@ -59,6 +62,10 @@ class DCSEPipeline:
         self.compute_dtype = compute_dtype
         self.state: Optional[TrainState] = None
         self._enhance_jit = {}
+        # val-calibrated output gain (SI-SNR leaves output level only weakly
+        # anchored; see agent_trainer.SincformerPipeline.output_gain)
+        self.output_gain = 1.0
+        self._loaded_ckpt_path: str | None = None
         os.makedirs(self.model_dir, exist_ok=True)
 
     # ── data ────────────────────────────────────────────────────────────
@@ -77,14 +84,21 @@ class DCSEPipeline:
         noises = load_noise_signals(self.fs)
         train_ds = WaveformDataset.from_files(train_files, noises,
                                               fs=self.fs)
-        test_ds = WaveformDataset.from_files(test_files, noises, fs=self.fs)
+        # held-out noise crops for val: training always mixes noise[:len]
+        # (reference parity) and the model memorizes that realization
+        # (data.loader.heldout_noises)
+        from sincformer_tpu.data.loader import heldout_noises
+        test_ds = WaveformDataset.from_files(test_files,
+                                             heldout_noises(noises),
+                                             fs=self.fs)
         return train_ds, test_ds
 
     # ── core steps ──────────────────────────────────────────────────────
 
     def _loss_fn(self, params, model_state, noisy, clean, rng, train: bool):
         """model_state carries mutable collections (batch_stats when
-        conv_norm='batch'); returns (total, (neg_sisnr, new_model_state))."""
+        conv_norm='batch'); returns
+        (total, (neg_sisnr, new_model_state, enh_wav))."""
         n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                              self.acfg.frame_size)
         noisy_spec = stft(noisy, n_fft, hop, frame)
@@ -121,7 +135,7 @@ class DCSEPipeline:
         loss_stft = multi_resolution_stft_loss(enh_wav, clean)
         total = (loss_sisnr + self.dcfg.mag_loss_weight * loss_mag
                  + loss_stft)
-        return total, (loss_sisnr, new_model_state)
+        return total, (loss_sisnr, new_model_state, enh_wav)
 
     def init_state(self, epochs: int, steps_per_epoch: int,
                    example_len: int | None = None) -> TrainState:
@@ -152,7 +166,7 @@ class DCSEPipeline:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, noisy, clean, rng):
-            (loss, (neg_sisnr, new_ms)), grads = jax.value_and_grad(
+            (loss, (neg_sisnr, new_ms, _)), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, state.model_state, noisy, clean, rng,
                                   True),
                 has_aux=True)(state.params)
@@ -170,10 +184,15 @@ class DCSEPipeline:
 
         @jax.jit
         def eval_step(params, model_state, noisy, clean):
-            loss, (neg_sisnr, _) = loss_fn(params, model_state, noisy,
-                                           clean, jax.random.PRNGKey(0),
-                                           False)
-            return loss, -neg_sisnr
+            loss, (neg_sisnr, _, enh) = loss_fn(params, model_state, noisy,
+                                                clean, jax.random.PRNGKey(0),
+                                                False)
+            # per-utterance oracle gain, geometric-mean aggregated (see
+            # agent_trainer: SI-SNR leaves output level under-constrained)
+            alpha = (jnp.sum(clean * enh, -1)
+                     / (jnp.sum(enh * enh, -1) + 1e-12))
+            log_alpha = jnp.mean(jnp.log(jnp.clip(alpha, 1e-3, 1e3)))
+            return loss, -neg_sisnr, log_alpha
 
         return eval_step
 
@@ -223,7 +242,10 @@ class DCSEPipeline:
         best_val = float("inf")
         if resume_path is not None and start_epoch > 0:
             meta = read_train_meta(self.model_dir, "best_conformer")
-            if meta and np.isfinite(meta.get("best_val", np.inf)):
+            # val_protocol guard: best_val from an older val-mixing
+            # protocol isn't comparable — re-evaluate instead
+            if (meta and np.isfinite(meta.get("best_val", np.inf))
+                    and meta.get("val_protocol") == VAL_PROTOCOL):
                 best_val = float(meta["best_val"])
             else:
                 v = [eval_step(self.state.params, self.state.model_state,
@@ -261,15 +283,16 @@ class DCSEPipeline:
             tr_loss = float(sum(losses) / n_b) if n_b else 0.0
             tr_sisnr = float(sum(sisnrs) / n_b) if n_b else 0.0
 
-            v_losses, v_sisnrs = [], []
+            v_losses, v_sisnrs, v_lgains = [], [], []
             for batch in batch_iterator(test_ds, batch_size, shuffle=False,
                                         drop_last=False, bucketed=bucketed):
-                loss, sisnr = eval_step(self.state.params,
-                                        self.state.model_state,
-                                        jnp.asarray(batch["noisy"]),
-                                        jnp.asarray(batch["clean"]))
+                loss, sisnr, lgain = eval_step(self.state.params,
+                                               self.state.model_state,
+                                               jnp.asarray(batch["noisy"]),
+                                               jnp.asarray(batch["clean"]))
                 v_losses.append(loss)
                 v_sisnrs.append(sisnr)
+                v_lgains.append(lgain)
             finite = [i for i in range(len(v_losses))
                       if np.isfinite(float(v_losses[i]))]
             # all-NaN validation → inf, never a fake 0.0 "improvement"
@@ -279,13 +302,20 @@ class DCSEPipeline:
             va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
                         if finite else 0.0)
 
+            lg = [float(v_lgains[i]) for i in finite
+                  if np.isfinite(float(v_lgains[i]))]
+            if lg:
+                self.output_gain = float(np.exp(np.mean(lg)))
+                self._enhance_jit.clear()
+
             improved = va_loss < best_val
             if improved:
                 best_val = va_loss
                 self.save_model("best_conformer")
-                write_train_meta(self.model_dir, "best_conformer",
+                merge_train_meta(self.model_dir, "best_conformer",
                                  {"best_val": va_loss, "epoch": epoch,
-                                  "step": int(self.state.step)})
+                                  "step": int(self.state.step),
+                                  "val_protocol": VAL_PROTOCOL})
             entry = {"epoch": epoch, "train_loss": tr_loss,
                      "val_loss": va_loss, "val_sisnr": va_sisnr,
                      "nan_count": int(self.state.nan_count),
@@ -312,11 +342,15 @@ class DCSEPipeline:
             return
         if quantize:
             from sincformer_tpu.train.state import save_checkpoint_quantized
-            return save_checkpoint_quantized(
+            path = save_checkpoint_quantized(
                 os.path.join(self.model_dir, name), self.state,
                 step=int(self.state.step))
-        return save_checkpoint(os.path.join(self.model_dir, name),
-                               self.state, step=int(self.state.step))
+        else:
+            path = save_checkpoint(os.path.join(self.model_dir, name),
+                                   self.state, step=int(self.state.step))
+        merge_train_meta(self.model_dir, name,
+                         {"output_gain": float(self.output_gain)})
+        return path
 
     def load_model(self, path: str | None = None):
         """Restore params (full state) from an Orbax checkpoint dir."""
@@ -330,7 +364,37 @@ class DCSEPipeline:
         if self.state is None:
             self.init_state(epochs=1, steps_per_epoch=1)
         self.state = restore_checkpoint(path, self.state)
+        self._loaded_ckpt_path = path
+        self.output_gain = _resolve_output_gain(path)
+        self._enhance_jit.clear()
         return path
+
+    def calibrate_gain(self, ds, batch_size: int = 8,
+                       persist: bool = True) -> float:
+        """Post-hoc output-gain calibration against a (noisy, clean)
+        WaveformDataset — see SincformerPipeline.calibrate_gain. The
+        dataset must be mixed with held-out noise (loader.heldout_noises),
+        never the training noise realization the model memorized."""
+        if self.state is None:
+            raise RuntimeError("No model loaded.")
+        logs = []
+        for batch in batch_iterator(ds, batch_size, shuffle=False,
+                                    drop_last=False):
+            enh = self.enhance_batch(batch["noisy"].astype(np.float32))
+            for i, n in enumerate(batch["lengths"]):
+                e, c = enh[i, :n], batch["clean"][i, :n]
+                alpha = float(np.dot(c, e) / (np.dot(e, e) + 1e-12))
+                if np.isfinite(alpha) and 1e-3 < alpha < 1e3:
+                    logs.append(np.log(alpha))
+        if not logs:
+            return float(self.output_gain)
+        self.output_gain = float(self.output_gain * np.exp(np.mean(logs)))
+        self._enhance_jit.clear()
+        if persist and self._loaded_ckpt_path is not None:
+            fam = os.path.dirname(os.path.abspath(self._loaded_ckpt_path))
+            merge_train_meta(os.path.dirname(fam), os.path.basename(fam),
+                             {"output_gain": float(self.output_gain)})
+        return float(self.output_gain)
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, model_dir: str | None = None,
@@ -360,10 +424,12 @@ class DCSEPipeline:
     # ── inference ───────────────────────────────────────────────────────
 
     def _enhance_fn(self, padded_len: int):
-        if padded_len not in self._enhance_jit:
+        key = (padded_len, float(self.output_gain))
+        if key not in self._enhance_jit:
             n_fft, hop, frame = (self.acfg.fft_size, self.acfg.hop_size,
                                  self.acfg.frame_size)
             model = self.model
+            gain = float(self.output_gain)   # val-calibrated, trace constant
 
             @jax.jit
             def fn(variables, wav):
@@ -372,11 +438,12 @@ class DCSEPipeline:
                 spec = stft(wav, n_fft, hop, frame)
                 er, ei, _ = model.apply(variables, spec.real, spec.imag,
                                         deterministic=True)
-                return istft(er + 1j * ei, n_fft, hop, frame,
-                             length=wav.shape[-1])
+                enh = istft(er + 1j * ei, n_fft, hop, frame,
+                            length=wav.shape[-1])
+                return enh * gain if gain != 1.0 else enh
 
-            self._enhance_jit[padded_len] = fn
-        return self._enhance_jit[padded_len]
+            self._enhance_jit[key] = fn
+        return self._enhance_jit[key]
 
     def _variables(self) -> Dict:
         return {"params": self.state.params,

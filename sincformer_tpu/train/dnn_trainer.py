@@ -259,10 +259,21 @@ class DNNPipeline:
         keys = list(noises.keys())
         if host_workers is None:
             host_workers = min(8, os.cpu_count() or 1)
+        # test-tail utterances mix with held-out noise crops: training always
+        # crops noise[:len] (reference parity) and the model memorizes that
+        # realization (data.loader.heldout_noises). Boundary is a-priori; if
+        # a test-tail load fails the post-hoc split below still guards the
+        # train/test file boundary.
+        from sincformer_tpu.data.loader import heldout_noises
+        hold = heldout_noises(noises)
+        n_jobs = len(clean_signals)
+        test_start = (n_jobs - n_test if n_test is not None
+                      else int(n_jobs * (1 - test_fraction)))
 
         def job(i_clean):
             i, clean = i_clean
-            noise = noises[keys[i % len(keys)]]
+            bank = hold if i >= test_start else noises
+            noise = bank[keys[i % len(keys)]]
             snr = snr_levels[i % len(snr_levels)]
             ck = None
             if use_cache:

@@ -14,6 +14,8 @@ import math
 import os
 from typing import Any, Callable, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -179,6 +181,45 @@ def read_train_meta(model_dir: str, name: str) -> Optional[dict]:
             return json.load(f)
     except Exception:
         return None
+
+
+# Validation-mixing protocol version, persisted in best-checkpoint sidecars.
+# 2 = val mixtures use held-out noise crops (data.loader.heldout_noises);
+# best_val values from older protocols are not comparable, so resume
+# re-evaluates the restored model instead of trusting the sidecar.
+VAL_PROTOCOL = 2
+
+
+def resolve_output_gain(step_dir: str) -> float:
+    """Output gain to apply at inference for the checkpoint at ``step_dir``
+    (a ``.../family/step_N`` path): the val-calibrated ``output_gain`` from
+    the family's sidecar, default 1.0. ``SINCFORMER_OUTPUT_GAIN`` overrides:
+    ``off``/``1`` disables calibration, a number forces that gain."""
+    env = os.environ.get("SINCFORMER_OUTPUT_GAIN", "").strip().lower()
+    if env in ("off", "none", "disable", "disabled"):
+        return 1.0
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    fam = os.path.dirname(os.path.abspath(step_dir))
+    meta = read_train_meta(os.path.dirname(fam), os.path.basename(fam))
+    try:
+        g = float((meta or {}).get("output_gain", 1.0))
+    except (TypeError, ValueError):
+        return 1.0
+    return g if np.isfinite(g) and g > 0 else 1.0
+
+
+def merge_train_meta(model_dir: str, name: str, updates: dict) -> dict:
+    """Read-modify-write the sidecar so independent writers (best-val
+    tracking in the train loop, output-gain calibration in save/calibrate)
+    don't clobber each other's keys."""
+    meta = read_train_meta(model_dir, name) or {}
+    meta.update(updates)
+    write_train_meta(model_dir, name, meta)
+    return meta
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                     extra: Optional[dict] = None):
