@@ -252,9 +252,13 @@ def enhance(args):
               else [args.input])
     se = StreamingEnhancer(pipe)
 
+    pcm16 = bool(getattr(args, "pcm16", False))
+
     def _towav(x):
+        if x.dtype == np.int16:        # quantized on device (serve.py)
+            return x
         x = np.clip(x, -1.0, 1.0)
-        if getattr(args, "pcm16", False):
+        if pcm16:
             # round-to-nearest: truncation biases every sample toward zero
             return np.round(x * 32767.0).astype(np.int16)
         return x.astype(np.float32)
@@ -262,7 +266,9 @@ def enhance(args):
         noisy = load_audio(inputs[0], fs)
         print(f"  Input: {inputs[0]} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
         t0 = time.time()
-        enhanced = se.enhance(noisy)
+        # --pcm16 quantizes ON DEVICE on the long-form path: the enhanced
+        # audio crosses the tunnel as int16 (half the download bytes)
+        enhanced = se.enhance(noisy, pcm16_out=pcm16)
         dt = time.time() - t0
         wavfile.write(args.output, fs, _towav(enhanced))
         print(f"  Enhanced → {args.output}  ({dt:.2f}s wall, "

@@ -58,7 +58,9 @@ class StreamingEnhancer:
     """
 
     def __init__(self, pipeline, window: int = 32000, overlap: int = 1600,
-                 chunk_batch: int = 64, device_ola: Optional[bool] = None):
+                 chunk_batch: int = 64, device_ola: Optional[bool] = None,
+                 pipelined: Optional[bool] = None,
+                 transfer_workers: int = 4):
         assert overlap < window // 2
         self.pipeline = pipeline
         self.window = window
@@ -70,7 +72,13 @@ class StreamingEnhancer:
         # device-side OLA: None = auto (use when the pipeline has a
         # compatible jitted core), False = force host path
         self.device_ola = device_ola
+        # transfer pipelining: None = auto (segment the file and overlap
+        # uploads/compute/downloads when it is long enough to amortize),
+        # False = always one whole-file program, True = force segmented
+        self.pipelined = pipelined
+        self.transfer_workers = transfer_workers
         self._stream_jit: dict = {}
+        self._seg_jit: dict = {}
 
     # ── internals ───────────────────────────────────────────────────────
 
@@ -95,16 +103,20 @@ class StreamingEnhancer:
                 lambda st, w: inner(st[0][0], st[0][1], w)
         return None
 
-    def _stream_fn(self, c_pad: int):
+    def _stream_fn(self, c_pad: int, pcm16_out: bool = False):
         """One jitted whole-file program for ``c_pad`` windows: frame →
         grouped model applies → cross-fade weights → overlap-add. Traced
         args carry the true sample count so one compile per padded
-        chunk-count serves every file length mapping to it."""
+        chunk-count serves every file length mapping to it.
+
+        ``pcm16_out=True`` quantizes the enhanced signal to int16 PCM on
+        device before the download — half the device→host wire bytes,
+        for callers that write PCM16 output anyway."""
         import jax
         import jax.numpy as jnp
 
-        from sincformer_tpu.utils.signal import (frame_signal, overlap_add,
-                                                 pcm_to_float)
+        from sincformer_tpu.utils.signal import (float_to_pcm, frame_signal,
+                                                 overlap_add, pcm_to_float)
 
         window, overlap = self.window, self.overlap
         hop = window - overlap
@@ -139,16 +151,155 @@ class StreamingEnhancer:
             w = w * (idx < c_true)[:, None].astype(jnp.float32)
             num = overlap_add(enh * w, hop, out_len)
             den = overlap_add(w, hop, out_len)
-            return num / jnp.maximum(den, 1e-8)
+            out = num / jnp.maximum(den, 1e-8)
+            return float_to_pcm(out) if pcm16_out else out
 
         return fn
 
-    def _enhance_device_ola(self, noisy: np.ndarray) -> Optional[np.ndarray]:
+    def _seg_ola_fn(self, pcm16_out: bool):
+        """Jitted cross-fade + overlap-add program for ONE segment of
+        ``chunk_batch`` already-enhanced windows.
+
+        The segmented path runs TWO device programs per segment: the
+        pipeline's own cached enhancement program (the SAME XLA executable
+        the host path's ``enhance_batch`` dispatches, so per-window model
+        outputs are bit-identical to the host path by construction --
+        fusing the model into a combined segment program let XLA inline
+        the single-trip map and re-fuse the model with the OLA ops, which
+        an untrained model amplified to ~2e-3 divergence) and this one,
+        which turns the (gb, window) enhanced windows into the segment's
+        OLA numerator. Dispatch is async, so the extra program adds no
+        host round trip.
+
+        The global window index ``idx0`` and remaining true samples
+        ``n_rem`` ride as traced int32 scalars, so ONE compile serves
+        every segment of every file length.
+
+        Linear cross-fade ramps sum to exactly 1 where adjacent windows
+        overlap, so the global OLA denominator is identically 1 on the
+        true sample range -- each segment can therefore return its
+        weighted numerator alone and the host just ADDS the (tiny,
+        ``overlap``-sample) seams between consecutive segments.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from sincformer_tpu.utils.signal import float_to_pcm, overlap_add
+
+        window, overlap = self.window, self.overlap
+        hop = window - overlap
+        gb = self.chunk_batch
+        fade_in = jnp.asarray(self._fade_in)
+        fade_out = jnp.asarray(self._fade_out)
+        out_len = (gb - 1) * hop + self.window
+
+        @jax.jit
+        def fn(enh, idx0, n_rem):
+            li = jnp.arange(gb)
+            gi = idx0 + li
+            w = jnp.ones((gb, window), jnp.float32)
+            w = w.at[:, :overlap].set(
+                jnp.where(gi[:, None] > 0, fade_in[None, :], 1.0))
+            fo = (li * hop + window) < n_rem
+            w = w.at[:, window - overlap:].set(
+                jnp.where(fo[:, None], fade_out[None, :], 1.0))
+            # windows at/after the true end are shape padding (same
+            # c_true = ceil(n/hop) window set as the host path; global
+            # window 0 always survives -- enhance() guarantees n > 0)
+            live = (li * hop < n_rem) | (gi == 0)
+            w = w * live[:, None].astype(jnp.float32)
+            num = overlap_add(enh * w, hop, out_len)
+            return float_to_pcm(num) if pcm16_out else num
+
+        return fn
+
+
+    def _enhance_device_ola_pipelined(
+            self, noisy: np.ndarray,
+            pcm16_out: bool = False) -> Optional[np.ndarray]:
+        """Segmented device OLA with pipelined transfers; None when the
+        input is too short to amortize segmentation (-> whole-file path).
+
+        Windows are framed on the HOST (strided slices -- ``overlap/hop``
+        extra upload bytes, ~5% at production shapes) so the model runs
+        as the pipeline's own cached (gb, window) enhancement program --
+        the host path's exact executable. While segment s computes,
+        segment s+1 uploads and segment s-1 downloads on worker threads:
+        on a bandwidth-limited tunnel the wall clock approaches
+        max(upload, download) instead of their sum."""
+        da = self._device_apply()
+        if da is None:
+            return None
+        import jax
+        import jax.numpy as jnp
+        n = len(noisy)
+        hop = self.window - self.overlap
+        gb = self.chunk_batch
+        c = max(1, math.ceil(n / hop))
+        n_seg = math.ceil(c / gb)
+        if self.pipelined is not True and n_seg < 3:
+            return None                     # nothing to overlap
+        c_pad = n_seg * gb
+        seg_len = (gb - 1) * hop + self.window
+        total = (c_pad - 1) * hop + self.window
+        sig = np.zeros(total, noisy.dtype)
+        sig[:n] = noisy
+        if pcm16_out not in self._seg_jit:
+            self._seg_jit[pcm16_out] = self._seg_ola_fn(pcm16_out)
+        ola = self._seg_jit[pcm16_out]
+        state, apply = da
+        # Upload to the device the PARAMS live on — never jax.devices()[0]:
+        # under a pinned accelerator plugin that returns the accelerator
+        # even when jax_default_device routes compute to CPU (the test
+        # mesh), and a mismatch silently splits the pipelined path onto a
+        # different backend than the host/whole-file paths.
+        dev = None
+        for leaf in jax.tree_util.tree_leaves(state):
+            ds = getattr(leaf, "devices", None)
+            if callable(ds):
+                leaf_devs = leaf.devices()
+                if len(leaf_devs) == 1:
+                    dev = next(iter(leaf_devs))
+                    break
+
+        from concurrent.futures import ThreadPoolExecutor
+        nw = max(1, self.transfer_workers)
+        win_view = np.lib.stride_tricks.sliding_window_view(
+            sig, self.window)[::hop]        # (c_pad, window), zero-copy
+        segs = [np.ascontiguousarray(win_view[s * gb:(s + 1) * gb])
+                for s in range(n_seg)]
+        with ThreadPoolExecutor(nw) as up, ThreadPoolExecutor(nw) as down:
+            ups = [up.submit(jax.device_put, seg, dev) for seg in segs]
+            outs = []
+            for s, f in enumerate(ups):
+                enh = apply(state, f.result())         # cached (gb, W) program
+                y = ola(enh,
+                        jnp.asarray(s * gb, jnp.int32),
+                        jnp.asarray(n - s * gb * hop, jnp.int32))
+                outs.append(down.submit(np.asarray, y))
+            parts = [o.result() for o in outs]
+
+        out = np.zeros(total, np.float32)
+        for s, p in enumerate(parts):
+            if p.dtype == np.int16:
+                p = p.astype(np.float32) * (1.0 / 32768.0)
+            start = s * gb * hop
+            out[start:start + seg_len] += p
+        out = out[:n]
+        return self._quantize_host(out) if pcm16_out else out
+
+
+    def _enhance_device_ola(self, noisy: np.ndarray,
+                            pcm16_out: bool = False) -> Optional[np.ndarray]:
         """Whole-file device OLA; None when the pipeline has no compatible
         core (caller falls back to the host path)."""
         da = self._device_apply()
         if self.device_ola is False or da is None:
             return None
+        if self.pipelined is not False:
+            out = self._enhance_device_ola_pipelined(noisy, pcm16_out)
+            if out is not None:
+                return out
         import jax.numpy as jnp
         n = len(noisy)
         hop = self.window - self.overlap
@@ -157,11 +308,12 @@ class StreamingEnhancer:
         total = (c_pad - 1) * hop + self.window
         sig = np.zeros(total, noisy.dtype)
         sig[:n] = noisy
-        if c_pad not in self._stream_jit:
-            self._stream_jit[c_pad] = self._stream_fn(c_pad)
-        out = self._stream_jit[c_pad](da[0], jnp.asarray(sig),
-                                      jnp.asarray(n, jnp.int32))
-        return np.asarray(out[:n], np.float32)
+        key = (c_pad, pcm16_out)
+        if key not in self._stream_jit:
+            self._stream_jit[key] = self._stream_fn(c_pad, pcm16_out)
+        out = self._stream_jit[key](da[0], jnp.asarray(sig),
+                                    jnp.asarray(n, jnp.int32))
+        return np.asarray(out[:n])
 
     def _enhance_windows(self, chunks: np.ndarray) -> np.ndarray:
         """(C, window) noisy windows → (C, window) enhanced, batched when
@@ -186,25 +338,32 @@ class StreamingEnhancer:
 
     # ── public API ──────────────────────────────────────────────────────
 
-    def enhance(self, noisy: np.ndarray) -> np.ndarray:
+    def enhance(self, noisy: np.ndarray,
+                pcm16_out: bool = False) -> np.ndarray:
         """Enhance arbitrary-length audio with constant device footprint.
 
         int16 input is forwarded to the device AS int16 (half the wire
         bytes of float32 — audio's native PCM format) and dequantized
-        inside the pipelines' jitted programs (utils/signal.pcm_to_float);
-        output is always float32 in [-1, 1].
+        inside the pipelines' jitted programs (utils/signal.pcm_to_float).
+
+        ``pcm16_out=True`` returns int16 PCM instead of float32: on the
+        device-OLA path the quantization happens ON DEVICE so the result
+        also crosses the wire as int16 (half the download bytes — through
+        a remote-TPU tunnel the transfers, not the model, bound long-form
+        serving). Exact for callers that write PCM16 WAV output anyway.
         """
         noisy = np.asarray(noisy)
         wire = np.int16 if noisy.dtype == np.int16 else np.float32
         noisy = noisy.astype(wire)
         n = len(noisy)
         if n <= self.window:
-            return self.pipeline.enhance_signal(
+            out = self.pipeline.enhance_signal(
                 noisy.astype(np.float32) / 32768.0
                 if wire == np.int16 else noisy)
+            return self._quantize_host(out) if pcm16_out else out
 
         if self.device_ola is not False:
-            out = self._enhance_device_ola(noisy)
+            out = self._enhance_device_ola(noisy, pcm16_out)
             if out is not None:
                 return out
 
@@ -230,7 +389,16 @@ class StreamingEnhancer:
                                                         end - start):]
             out[start:end] += e * w
             weight[start:end] += w
-        return out / np.maximum(weight, 1e-8)
+        out = out / np.maximum(weight, 1e-8)
+        return self._quantize_host(out) if pcm16_out else out
+
+    @staticmethod
+    def _quantize_host(wav: np.ndarray) -> np.ndarray:
+        """Host-side PCM16 quantization (parity with signal.float_to_pcm)
+        for the paths whose output already arrived as float32."""
+        scaled = np.clip(np.asarray(wav, np.float32) * 32768.0,
+                         -32768.0, 32767.0)
+        return np.round(scaled).astype(np.int16)
 
     def enhance_many(self, signals: Sequence[np.ndarray],
                      pad_quantum: int = 4000) -> List[np.ndarray]:

@@ -190,3 +190,16 @@ def pcm_to_float(wav: jnp.ndarray) -> jnp.ndarray:
     if wav.dtype == jnp.int16:
         return wav.astype(jnp.float32) * (1.0 / 32768.0)
     return wav
+
+
+def float_to_pcm(wav: jnp.ndarray) -> jnp.ndarray:
+    """Quantize float32 audio in [-1, 1] to int16 PCM on DEVICE.
+
+    Inverse of :func:`pcm_to_float` (up to the ±0.5 LSB rounding floor,
+    ~90 dB SNR — below any enhancement metric's sensitivity). Serving
+    uses it to bring enhanced audio back over the host↔device wire as
+    int16: half the device→host bytes of float32, and the natural
+    container when the caller writes PCM16 WAV output anyway.
+    """
+    scaled = jnp.clip(wav * 32768.0, -32768.0, 32767.0)
+    return jnp.round(scaled).astype(jnp.int16)

@@ -289,3 +289,80 @@ class TestDeviceOLA:
         out = se.enhance(x)
         np.testing.assert_allclose(out, x * 0.5, atol=1e-5)
         assert pipe.batch_calls          # host batched path was used
+
+    def test_pipelined_matches_whole_file(self, rng, tmp_path):
+        """The segmented transfer-pipelined path must reproduce the
+        whole-file device program (and therefore the host path) exactly:
+        cross-fade ramps sum to 1, so per-segment numerators ADD."""
+        pipe = self._dcse_pipe(tmp_path)
+        for n in (90000, 86401, 4 * 7200 * 3):    # ragged + exact tails
+            x = rng.standard_normal(n).astype(np.float32) * 0.3
+            piped = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                      chunk_batch=4,
+                                      pipelined=True).enhance(x)
+            whole = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                      chunk_batch=4,
+                                      pipelined=False).enhance(x)
+            host = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                     chunk_batch=4,
+                                     device_ola=False).enhance(x)
+            assert piped.shape == whole.shape == x.shape
+            np.testing.assert_allclose(piped, whole, atol=2e-5,
+                                       err_msg=str(n))
+            np.testing.assert_allclose(piped, host, atol=2e-5,
+                                       err_msg=str(n))
+
+    def test_pipelined_pcm16_wire(self, rng, tmp_path):
+        """Pipelined + int16 both ways: boundary seams re-quantize after
+        the host add, so tolerance is a couple of LSBs."""
+        pipe = self._dcse_pipe(tmp_path)
+        x = (rng.standard_normal(90000) * 8000).astype(np.int16)
+        se = StreamingEnhancer(pipe, window=8000, overlap=800,
+                               chunk_batch=4, pipelined=True)
+        out16 = se.enhance(x, pcm16_out=True)
+        assert out16.dtype == np.int16
+        ref = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                chunk_batch=4,
+                                pipelined=False).enhance(x)
+        err = np.abs(out16.astype(np.float32) / 32768.0 - ref)
+        assert np.max(err) <= 3.0 / 32768.0
+
+    def test_pipelined_auto_skips_short_input(self, rng, tmp_path):
+        """Auto mode falls back to the whole-file program under 3
+        segments (nothing to overlap)."""
+        pipe = self._dcse_pipe(tmp_path)
+        se = StreamingEnhancer(pipe, window=8000, overlap=800,
+                               chunk_batch=4)
+        x = rng.standard_normal(30000).astype(np.float32) * 0.3
+        out = se.enhance(x)
+        assert not se._seg_jit            # segment program never built
+        assert se._stream_jit             # whole-file program used
+        assert out.shape == x.shape
+
+    def test_pcm16_out_device_parity(self, rng, tmp_path):
+        """pcm16_out quantizes ON DEVICE (int16 download wire): the result
+        must equal the float32 path quantized on host, to ±1 LSB."""
+        pipe = self._dcse_pipe(tmp_path)
+        x = (rng.standard_normal(50000) * 8000).astype(np.int16)
+        se = StreamingEnhancer(pipe, window=8000, overlap=800,
+                               chunk_batch=4)
+        out16 = se.enhance(x, pcm16_out=True)
+        assert out16.dtype == np.int16
+        ref = se.enhance(x)                       # float32 device OLA
+        ref16 = np.round(np.clip(ref * 32768.0, -32768, 32767))
+        assert np.max(np.abs(out16.astype(np.int32)
+                             - ref16.astype(np.int32))) <= 1
+
+    def test_pcm16_out_host_paths(self, rng):
+        """Short-input and host-fallback paths honor pcm16_out too."""
+        pipe = _BatchScalePipe()
+        se = StreamingEnhancer(pipe, window=32000, overlap=1600,
+                               chunk_batch=2)
+        short = rng.standard_normal(8000).astype(np.float32) * 0.5
+        o = se.enhance(short, pcm16_out=True)
+        assert o.dtype == np.int16
+        np.testing.assert_allclose(
+            o, np.round(np.clip(short * 0.5 * 32768, -32768, 32767)))
+        long = rng.standard_normal(100000).astype(np.float32) * 0.5
+        o2 = se.enhance(long, pcm16_out=True)
+        assert o2.dtype == np.int16 and o2.shape == long.shape
