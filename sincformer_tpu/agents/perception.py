@@ -87,12 +87,18 @@ class PerceptionAgentMXU(nn.Module):
     fine_act: str = "gelu"        # fine-stream activation: "gelu" (v2) |
                                   # "mulaw" (sign-preserving compressive —
                                   # round-3 SSNR ablation, RESULTS.md)
-    fine_feats: str = "single"    # "single" (v2/v4) | "dual" (v5
-                                  # hypothesis): ALSO feed a per-frame-
-                                  # NORMALIZED copy of the fine chunks —
-                                  # v3 showed normalization buys segmental
-                                  # SNR but costs CSII when it REPLACES
-                                  # the raw level cue; dual keeps both
+    fine_feats: str = "single"    # "single" (v4, default) | "dual" (v5
+                                  # quality preset): ALSO feed a per-
+                                  # frame-NORMALIZED copy of the fine
+                                  # chunks. Dual won the round-4 quality
+                                  # ablation (first MXU-PA config to beat
+                                  # the ref-PA row on PESQ, at parity
+                                  # CSII) but the second k=4 embed GEMM +
+                                  # chunk LN cost a measured 18% RTF
+                                  # (22.1k → 17.8k, RESULTS.md round 4);
+                                  # it ships as the opt-in quality
+                                  # configuration, not the default.
+                                  # Checkpoints autodetect either.
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray

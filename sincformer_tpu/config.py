@@ -236,9 +236,11 @@ class AgentConfig:
     pa_fine_act: str = field(
         default_factory=lambda: os.environ.get(
             "SINCFORMER_PA_FINE_ACT", "mulaw"))
-    # mxu fine-feature streams: "single" (v4, shipped) | "dual" (v5
-    # ablation candidate: adds a per-frame-normalized fine-chunk stream
-    # ALONGSIDE the companded raw one — agents/perception.py)
+    # mxu fine-feature streams: "single" (v4, default) | "dual" (v5
+    # QUALITY preset — adds a per-frame-normalized fine-chunk stream
+    # alongside the companded raw one; won the round-4 quality ablation
+    # but costs a measured 18% flagship RTF — RESULTS.md round 4;
+    # checkpoints autodetect either, agents/perception.py)
     pa_fine_feats: str = field(
         default_factory=lambda: os.environ.get(
             "SINCFORMER_PA_FINE_FEATS", "single"))

@@ -60,7 +60,7 @@ class StreamingEnhancer:
     def __init__(self, pipeline, window: int = 32000, overlap: int = 1600,
                  chunk_batch: int = 64, device_ola: Optional[bool] = None,
                  pipelined: Optional[bool] = None,
-                 transfer_workers: int = 4):
+                 transfer_workers: int = 2):
         assert overlap < window // 2
         self.pipeline = pipeline
         self.window = window
@@ -74,7 +74,9 @@ class StreamingEnhancer:
         self.device_ola = device_ola
         # transfer pipelining: None = auto (segment the file and overlap
         # uploads/compute/downloads when it is long enough to amortize),
-        # False = always one whole-file program, True = force segmented
+        # False = always one whole-file program, True = force segmented.
+        # transfer_workers=2 measured best on the remote-TPU tunnel (1/3
+        # serialize on the link, >2 thrash it — round-4 sweep, RESULTS.md)
         self.pipelined = pipelined
         self.transfer_workers = transfer_workers
         self._stream_jit: dict = {}
