@@ -280,7 +280,10 @@ def bench_streaming_rtf() -> float:
         t0 = time.perf_counter()
         out = se.enhance(wav, pcm16_out=True)
         dt = min(dt, time.perf_counter() - t0)
-        assert out.dtype == np.int16 and np.all(np.abs(out) <= 32767)
+        # promote before abs: np.abs(int16 -32768) wraps back to -32768,
+        # which would make the <= 32767 check vacuously true
+        assert out.dtype == np.int16
+        assert np.all(np.abs(out.astype(np.int32)) < 32768)
     return seconds / dt
 
 

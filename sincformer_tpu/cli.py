@@ -257,11 +257,12 @@ def enhance(args):
     def _towav(x):
         if x.dtype == np.int16:        # quantized on device (serve.py)
             return x
-        x = np.clip(x, -1.0, 1.0)
         if pcm16:
-            # round-to-nearest: truncation biases every sample toward zero
-            return np.round(x * 32767.0).astype(np.int16)
-        return x.astype(np.float32)
+            # same quantizer as the device path (signal.float_to_pcm
+            # convention: ×32768, clip, round-to-nearest) so --pcm16
+            # output is bit-identical whichever path produced the floats
+            return StreamingEnhancer._quantize_host(x)
+        return np.clip(x, -1.0, 1.0).astype(np.float32)
     if len(inputs) == 1:
         noisy = load_audio(inputs[0], fs)
         print(f"  Input: {inputs[0]} ({len(noisy) / fs:.2f}s @ {fs} Hz)")
@@ -330,7 +331,11 @@ def calibrate(args):
         # noise realization the model has memorized (loader.heldout_noises)
         _, te_files = train_test_split(files, max_test=args.samples)
         clean = [load_audio(f, fs) for f in te_files]
-        noises = heldout_noises(load_noise_signals(fs))
+        # RAW noise bank: calibrate_gain applies loader.heldout_noises
+        # itself — rolling here too would roll by 2·(len//2) = len (the
+        # identity for even lengths), i.e. fit the gain on the exact
+        # training crops the rotation exists to avoid
+        noises = load_noise_signals(fs)
         print(f"  Calibration set: {len(clean)} TIMIT val utterances "
               f"(held-out noise crops)")
     else:
@@ -359,7 +364,9 @@ def calibrate(args):
         pipe = DCSEPipeline()
         pipe.load_model()
         before = pipe.output_gain
-        ds = WaveformDataset.from_arrays(clean, noises)
+        # DCSE's calibrate_gain takes an already-MIXED dataset, so the
+        # held-out rotation happens here (exactly once)
+        ds = WaveformDataset.from_arrays(clean, heldout_noises(noises))
         after = pipe.calibrate_gain(ds)
     print(f"  Output gain: {before:.4f} → {after:.4f} "
           f"(persisted in the checkpoint sidecar)")

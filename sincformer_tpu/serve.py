@@ -178,10 +178,17 @@ class StreamingEnhancer:
         every segment of every file length.
 
         Linear cross-fade ramps sum to exactly 1 where adjacent windows
-        overlap, so the global OLA denominator is identically 1 on the
-        true sample range -- each segment can therefore return its
-        weighted numerator alone and the host just ADDS the (tiny,
-        ``overlap``-sample) seams between consecutive segments.
+        overlap, so the global OLA denominator is 1 almost everywhere --
+        each segment returns its weighted numerator alone and the host
+        just ADDS the (tiny, ``overlap``-sample) seams between
+        consecutive segments. The ONE place the denominator deviates is
+        the file tail when ``0 < n mod hop <= overlap``: the penultimate
+        live window's fade_out is suppressed (it ends at/after n) while
+        the last window still fades in, so the summed weight over
+        ``[k_last*hop, n)`` is ``1 + fade_in``. The caller divides that
+        (at most ``overlap``-sample) region out on the host, exactly as
+        the whole-file and host paths divide by their accumulated
+        weight.
         """
         import jax
         import jax.numpy as jnp
@@ -268,17 +275,32 @@ class StreamingEnhancer:
         nw = max(1, self.transfer_workers)
         win_view = np.lib.stride_tricks.sliding_window_view(
             sig, self.window)[::hop]        # (c_pad, window), zero-copy
-        segs = [np.ascontiguousarray(win_view[s * gb:(s + 1) * gb])
-                for s in range(n_seg)]
+
+        def _upload(s):
+            # copy + upload on the worker: the host never materializes
+            # more than `inflight` framed segments at once
+            return jax.device_put(
+                np.ascontiguousarray(win_view[s * gb:(s + 1) * gb]), dev)
+
+        # Bound the in-flight uploads: submitting every segment up front
+        # would stage the WHOLE framed file on the device (and host) at
+        # once — for an hours-long input that defeats the constant-
+        # footprint contract. `nw + 1` ahead is all the overlap the
+        # measured win needs (compute consumes one while nw transfer).
+        inflight = nw + 1
         with ThreadPoolExecutor(nw) as up, ThreadPoolExecutor(nw) as down:
-            ups = [up.submit(jax.device_put, seg, dev) for seg in segs]
+            ups = [up.submit(_upload, s)
+                   for s in range(min(inflight, n_seg))]
             outs = []
-            for s, f in enumerate(ups):
+            for s in range(n_seg):
+                f, ups[s] = ups[s], None    # drop the future's device ref
                 enh = apply(state, f.result())         # cached (gb, W) program
                 y = ola(enh,
                         jnp.asarray(s * gb, jnp.int32),
                         jnp.asarray(n - s * gb * hop, jnp.int32))
                 outs.append(down.submit(np.asarray, y))
+                if s + inflight < n_seg:
+                    ups.append(up.submit(_upload, s + inflight))
             parts = [o.result() for o in outs]
 
         out = np.zeros(total, np.float32)
@@ -288,6 +310,18 @@ class StreamingEnhancer:
             start = s * gb * hop
             out[start:start + seg_len] += p
         out = out[:n]
+        # OLA denominator correction (see _seg_ola_fn docstring): when
+        # 0 < n mod hop <= overlap, the last live window's fade_in rides
+        # on top of a full-weight predecessor whose fade_out was
+        # suppressed, so the accumulated weight over [k_last*hop, n) is
+        # 1 + fade_in — divide it out like the whole-file/host paths do.
+        # hop > overlap (constructor asserts overlap < window//2), so at
+        # most this ONE adjacent pair can deviate.
+        c_true = max(1, math.ceil(n / hop))
+        k_last = c_true - 1
+        if k_last > 0 and (k_last - 1) * hop + self.window >= n:
+            start = k_last * hop            # n - start <= overlap, proven
+            out[start:n] /= 1.0 + self._fade_in[:n - start]
         return self._quantize_host(out) if pcm16_out else out
 
 
@@ -310,7 +344,13 @@ class StreamingEnhancer:
         total = (c_pad - 1) * hop + self.window
         sig = np.zeros(total, noisy.dtype)
         sig[:n] = noisy
-        key = (c_pad, pcm16_out)
+        # output_gain is baked into the pipeline's _enhance_fn closure as
+        # a trace constant, so it must be part of THIS cache's key too: a
+        # long-lived server that recalibrates (calibrate_gain/load_model
+        # clear only the pipeline's own jit cache) must not keep serving
+        # the old gain for previously-compiled chunk counts.
+        gain = float(getattr(self.pipeline, "output_gain", 1.0))
+        key = (c_pad, pcm16_out, gain)
         if key not in self._stream_jit:
             self._stream_jit[key] = self._stream_fn(c_pad, pcm16_out)
         out = self._stream_jit[key](da[0], jnp.asarray(sig),

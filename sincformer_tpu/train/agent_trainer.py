@@ -371,18 +371,27 @@ class SincformerPipeline:
         loss_fn = self._loss
 
         @jax.jit
-        def step(state: TrainState, noisy, clean):
+        def step(state: TrainState, noisy, clean, lengths):
             loss, aux = loss_fn(state.params, state.model_state, noisy,
                                 clean, jax.random.PRNGKey(0), False,
                                 jnp.asarray(1.0), jnp.asarray(1.0))
-            # per-utterance oracle output gain α* = ⟨clean,enh⟩/‖enh‖²,
-            # aggregated as a geometric mean (gain is multiplicative);
-            # clipped so a silent/degenerate utterance can't poison it
+            # per-utterance oracle output gain α* = ⟨clean,enh⟩/‖enh‖²
+            # over the TRUE samples only — batches are zero-padded and
+            # model output on the pad region would inflate the
+            # denominator, biasing α low for every short utterance.
+            # Degenerate utterances (silent clean → α ≈ 0) are EXCLUDED,
+            # not clipped into the mean (same filter as calibrate_gain);
+            # returning (sum, count) lets the host aggregate one true
+            # geometric mean across unequal-size batches.
             enh = aux["enh_wav"]
-            alpha = (jnp.sum(clean * enh, -1)
-                     / (jnp.sum(enh * enh, -1) + 1e-12))
-            log_alpha = jnp.mean(jnp.log(jnp.clip(alpha, 1e-3, 1e3)))
-            return loss, aux["sisnr"], log_alpha
+            m = (jnp.arange(clean.shape[-1])[None, :]
+                 < lengths[:, None]).astype(clean.dtype)
+            alpha = (jnp.sum(clean * enh * m, -1)
+                     / (jnp.sum(enh * enh * m, -1) + 1e-12))
+            valid = jnp.isfinite(alpha) & (alpha > 1e-3) & (alpha < 1e3)
+            lg_sum = jnp.sum(jnp.where(
+                valid, jnp.log(jnp.clip(alpha, 1e-12)), 0.0))
+            return loss, aux["sisnr"], lg_sum, jnp.sum(valid)
 
         return step
 
@@ -503,7 +512,8 @@ class SincformerPipeline:
                 best_val = float(meta["best_val"])
             else:
                 v = [eval_step(self.state, jnp.asarray(b["noisy"]),
-                               jnp.asarray(b["clean"]))[0]
+                               jnp.asarray(b["clean"]),
+                               jnp.asarray(b["lengths"]))[0]
                      for b in batch_iterator(test_ds, batch_size,
                                              shuffle=False,
                                              drop_last=False)]
@@ -567,15 +577,17 @@ class SincformerPipeline:
             tr_loss = float(sum(losses) / n_b) if n_b else 0.0
             tr_sisnr = float(sum(sisnrs) / n_b) if n_b else 0.0
 
-            v_losses, v_sisnrs, v_lgains = [], [], []
+            v_losses, v_sisnrs, v_lgs, v_lgc = [], [], [], []
             for batch in batch_iterator(test_ds, batch_size, shuffle=False,
                                         drop_last=False):
-                loss, sisnr, lgain = eval_step(self.state,
-                                               jnp.asarray(batch["noisy"]),
-                                               jnp.asarray(batch["clean"]))
+                loss, sisnr, lg_sum, lg_cnt = eval_step(
+                    self.state, jnp.asarray(batch["noisy"]),
+                    jnp.asarray(batch["clean"]),
+                    jnp.asarray(batch["lengths"]))
                 v_losses.append(loss)
                 v_sisnrs.append(sisnr)
-                v_lgains.append(lgain)
+                v_lgs.append(lg_sum)
+                v_lgc.append(lg_cnt)
             finite = [i for i in range(len(v_losses))
                       if np.isfinite(float(v_losses[i]))]
             # an all-NaN validation epoch must NEVER look like an
@@ -585,13 +597,17 @@ class SincformerPipeline:
                        if finite else float("inf"))
             va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
                         if finite else 0.0)
-            lg = [float(v_lgains[i]) for i in finite
-                  if np.isfinite(float(v_lgains[i]))]
-            if lg:
+            # one geometric mean over all valid val utterances (sum/count,
+            # not a mean of unequal-size batch means)
+            lg_n = sum(int(v_lgc[i]) for i in finite
+                       if np.isfinite(float(v_lgs[i])))
+            if lg_n > 0:
+                lg_tot = sum(float(v_lgs[i]) for i in finite
+                             if np.isfinite(float(v_lgs[i])))
                 # this epoch's params ↔ this epoch's calibration; save_model
                 # persists it in the sidecar so best/final both carry the
                 # gain matching their own weights
-                self.output_gain = float(np.exp(np.mean(lg)))
+                self.output_gain = float(np.exp(lg_tot / lg_n))
                 self._enhance_jit.clear()
 
             improved = va_loss < best_val

@@ -183,16 +183,22 @@ class DCSEPipeline:
         loss_fn = self._loss_fn
 
         @jax.jit
-        def eval_step(params, model_state, noisy, clean):
+        def eval_step(params, model_state, noisy, clean, lengths):
             loss, (neg_sisnr, _, enh) = loss_fn(params, model_state, noisy,
                                                 clean, jax.random.PRNGKey(0),
                                                 False)
-            # per-utterance oracle gain, geometric-mean aggregated (see
-            # agent_trainer: SI-SNR leaves output level under-constrained)
-            alpha = (jnp.sum(clean * enh, -1)
-                     / (jnp.sum(enh * enh, -1) + 1e-12))
-            log_alpha = jnp.mean(jnp.log(jnp.clip(alpha, 1e-3, 1e3)))
-            return loss, -neg_sisnr, log_alpha
+            # per-utterance oracle gain over TRUE samples only, degenerate
+            # utterances excluded, (sum, count) returned for a single
+            # geometric mean across batches (see agent_trainer eval step:
+            # SI-SNR leaves output level under-constrained)
+            m = (jnp.arange(clean.shape[-1])[None, :]
+                 < lengths[:, None]).astype(clean.dtype)
+            alpha = (jnp.sum(clean * enh * m, -1)
+                     / (jnp.sum(enh * enh * m, -1) + 1e-12))
+            valid = jnp.isfinite(alpha) & (alpha > 1e-3) & (alpha < 1e3)
+            lg_sum = jnp.sum(jnp.where(
+                valid, jnp.log(jnp.clip(alpha, 1e-12)), 0.0))
+            return loss, -neg_sisnr, lg_sum, jnp.sum(valid)
 
         return eval_step
 
@@ -250,7 +256,8 @@ class DCSEPipeline:
             else:
                 v = [eval_step(self.state.params, self.state.model_state,
                                jnp.asarray(b["noisy"]),
-                               jnp.asarray(b["clean"]))[0]
+                               jnp.asarray(b["clean"]),
+                               jnp.asarray(b["lengths"]))[0]
                      for b in batch_iterator(test_ds, batch_size,
                                              shuffle=False, drop_last=False,
                                              bucketed=bucketed)]
@@ -283,16 +290,18 @@ class DCSEPipeline:
             tr_loss = float(sum(losses) / n_b) if n_b else 0.0
             tr_sisnr = float(sum(sisnrs) / n_b) if n_b else 0.0
 
-            v_losses, v_sisnrs, v_lgains = [], [], []
+            v_losses, v_sisnrs, v_lgs, v_lgc = [], [], [], []
             for batch in batch_iterator(test_ds, batch_size, shuffle=False,
                                         drop_last=False, bucketed=bucketed):
-                loss, sisnr, lgain = eval_step(self.state.params,
-                                               self.state.model_state,
-                                               jnp.asarray(batch["noisy"]),
-                                               jnp.asarray(batch["clean"]))
+                loss, sisnr, lg_sum, lg_cnt = eval_step(
+                    self.state.params, self.state.model_state,
+                    jnp.asarray(batch["noisy"]),
+                    jnp.asarray(batch["clean"]),
+                    jnp.asarray(batch["lengths"]))
                 v_losses.append(loss)
                 v_sisnrs.append(sisnr)
-                v_lgains.append(lgain)
+                v_lgs.append(lg_sum)
+                v_lgc.append(lg_cnt)
             finite = [i for i in range(len(v_losses))
                       if np.isfinite(float(v_losses[i]))]
             # all-NaN validation → inf, never a fake 0.0 "improvement"
@@ -302,10 +311,13 @@ class DCSEPipeline:
             va_sisnr = (float(np.mean([float(v_sisnrs[i]) for i in finite]))
                         if finite else 0.0)
 
-            lg = [float(v_lgains[i]) for i in finite
-                  if np.isfinite(float(v_lgains[i]))]
-            if lg:
-                self.output_gain = float(np.exp(np.mean(lg)))
+            # single geometric mean over all valid val utterances
+            lg_n = sum(int(v_lgc[i]) for i in finite
+                       if np.isfinite(float(v_lgs[i])))
+            if lg_n > 0:
+                lg_tot = sum(float(v_lgs[i]) for i in finite
+                             if np.isfinite(float(v_lgs[i])))
+                self.output_gain = float(np.exp(lg_tot / lg_n))
                 self._enhance_jit.clear()
 
             improved = va_loss < best_val

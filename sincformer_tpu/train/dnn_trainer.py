@@ -303,16 +303,14 @@ class DNNPipeline:
             outs = [job(j) for j in jobs]
         feats = [o[0] for o in outs if o is not None]
         masks = [o[1] for o in outs if o is not None]
-        if n_test is not None:
-            # exact split boundary: the LAST n_test jobs are the held-out
-            # files; count their surviving outputs so dropped/failed
-            # utterances can never shift test data into the train set
-            # (round-4 review)
-            n_te_ok = (sum(1 for o in outs[-n_test:] if o is not None)
-                       if n_test else 0)
-            split = max(1, len(feats) - n_te_ok)
-        else:
-            split = max(1, int(len(feats) * (1 - test_fraction)))
+        # exact split boundary: the jobs at/after test_start are the
+        # held-out files — the SAME a-priori boundary that chose their
+        # noise bank above. Counting their surviving outputs (rather than
+        # re-splitting fractionally over survivors) means a dropped/failed
+        # utterance can never shift a training-noise-mixed utterance into
+        # the test set or vice versa (round-4 reviews, both directions)
+        n_te_ok = sum(1 for o in outs[test_start:] if o is not None)
+        split = max(1, len(feats) - n_te_ok)
         train = FrameDataset(feats[:split], masks[:split])
         self.feat_mean, self.feat_std = train.feat_mean, train.feat_std
         test = FrameDataset(feats[split:], masks[split:],

@@ -180,3 +180,90 @@ class TestDCSEGain:
         g1 = fresh.calibrate_gain(ds, batch_size=2, persist=False)
         g2 = fresh.calibrate_gain(ds, batch_size=2, persist=False)
         assert g2 == pytest.approx(g1, rel=1e-3)
+
+
+class TestEvalGainEstimator:
+    """Round-4 review of the per-epoch gain estimate (both trainers):
+
+    (a) α must be computed over TRUE samples only — batches are zero-
+        padded and model output on the pad region inflates the α
+        denominator, biasing the persisted gain low for every short
+        utterance;
+    (b) degenerate utterances (silent clean → α ≈ 0) must be EXCLUDED
+        like calibrate_gain does, not clipped into the mean where one
+        silent val utterance drags the gain by exp(log(1e-3)/N);
+    (c) the loop aggregates (sum, count) across batches — one geometric
+        mean, not a mean of unequal-size batch means.
+    """
+
+    def _batch(self, rng, T=4000, n1=2500):
+        c = np.zeros((2, T), np.float32)
+        c[0] = synthetic_speech(0.5)
+        c[1, :n1] = synthetic_speech(0.5)[:n1]
+        noisy = c + rng.standard_normal((2, T)).astype(np.float32) * 0.05
+        noisy[1, n1:] = 0.0
+        return noisy, c, np.array([T, n1], np.int64)
+
+    def test_sincformer_alpha_masked_to_true_length(self, trained_sinc):
+        import jax
+        import jax.numpy as jnp
+        pipe, _, _, _ = trained_sinc
+        noisy, c, lengths = self._batch(np.random.default_rng(3))
+        # expected: α over the true samples of the ACTUAL eval-path output
+        _, aux = pipe._loss(pipe.state.params, pipe.state.model_state,
+                            jnp.asarray(noisy), jnp.asarray(c),
+                            jax.random.PRNGKey(0), False,
+                            jnp.asarray(1.0), jnp.asarray(1.0))
+        enh = np.asarray(aux["enh_wav"])
+        exp = []
+        for i, n in enumerate(lengths):
+            e, cc = enh[i, :n], c[i, :n]
+            exp.append(np.log(np.dot(cc, e) / (np.dot(e, e) + 1e-12)))
+        step = pipe._make_eval_step()
+        _, _, lg_sum, lg_cnt = step(pipe.state, jnp.asarray(noisy),
+                                    jnp.asarray(c), jnp.asarray(lengths))
+        assert int(lg_cnt) == 2
+        np.testing.assert_allclose(float(lg_sum), sum(exp),
+                                   rtol=1e-4, atol=1e-5)
+        # and the mask MATTERS: claiming full length for the short row
+        # must move the estimate (the padded region carries model output)
+        _, _, lg_full, _ = step(pipe.state, jnp.asarray(noisy),
+                                jnp.asarray(c),
+                                jnp.asarray([len(c[0])] * 2))
+        assert abs(float(lg_full) - float(lg_sum)) > 1e-6
+
+    def test_sincformer_degenerate_excluded(self, trained_sinc):
+        import jax.numpy as jnp
+        pipe, _, _, _ = trained_sinc
+        noisy, c, lengths = self._batch(np.random.default_rng(4))
+        c[1] = 0.0                     # silent clean → α ≈ 0 → excluded
+        step = pipe._make_eval_step()
+        _, _, lg_sum, lg_cnt = step(pipe.state, jnp.asarray(noisy),
+                                    jnp.asarray(c), jnp.asarray(lengths))
+        assert int(lg_cnt) == 1
+        assert np.isfinite(float(lg_sum))
+
+    def test_dcse_alpha_masked_and_degenerate_excluded(self, tmp_path):
+        import jax.numpy as jnp
+        model = SpeechEnhancer(n_freq=129, d_model=32, num_blocks=1,
+                               num_heads=2, d_ff=64, kernel_size=7,
+                               dropout=0.0)
+        pipe = DCSEPipeline(model=model, model_dir=str(tmp_path))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=4000)
+        noisy, c, lengths = self._batch(np.random.default_rng(5))
+        step = pipe._make_eval_step()
+        _, _, lg_sum, lg_cnt = step(pipe.state.params,
+                                    pipe.state.model_state,
+                                    jnp.asarray(noisy), jnp.asarray(c),
+                                    jnp.asarray(lengths))
+        assert int(lg_cnt) == 2 and np.isfinite(float(lg_sum))
+        _, _, lg_full, _ = step(pipe.state.params, pipe.state.model_state,
+                                jnp.asarray(noisy), jnp.asarray(c),
+                                jnp.asarray([len(c[0])] * 2))
+        assert abs(float(lg_full) - float(lg_sum)) > 1e-6
+        c2 = c.copy()
+        c2[1] = 0.0
+        _, _, _, cnt2 = step(pipe.state.params, pipe.state.model_state,
+                             jnp.asarray(noisy), jnp.asarray(c2),
+                             jnp.asarray(lengths))
+        assert int(cnt2) == 1

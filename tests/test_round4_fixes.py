@@ -114,3 +114,148 @@ class TestBucketedEmissionOrder:
         widths = [b["noisy"].shape[1] for b in batch_iterator(
             ds, 2, shuffle=False, bucketed=True, drop_last=False)]
         assert widths == sorted(widths)
+
+
+class TestDnnSplitHeldoutConsistency:
+    """Round-4 review: prepare_arrays chooses each job's noise bank by an
+    A-PRIORI index (jobs >= test_start mix with held-out crops), so the
+    post-hoc train/test split must use the SAME boundary over survivors.
+    A fractional re-split over surviving outputs shifted a training-
+    noise-mixed utterance into the test set whenever a test-tail job
+    failed — partially reinstating the memorized-crop evaluation bias."""
+
+    def test_failed_job_does_not_shift_boundary(self, monkeypatch):
+        import sincformer_tpu.train.dnn_trainer as dt
+
+        raw = np.arange(16000, dtype=np.float32)
+        noises = {"white": raw}
+        from sincformer_tpu.data.loader import heldout_noises
+        held = heldout_noises(noises)["white"]
+
+        def fake_process(clean, noise, snr, mask_type, fe, gfb,
+                         cache_dir=None, cache_key=None, pad_quantum=2000):
+            i = int(clean[0])                    # job index rides in data
+            if i == 19:                          # a TEST-tail job fails
+                return None
+            is_held = bool(np.array_equal(noise, held))
+            # distinct frame count per job → identifiable after concat
+            t = i + 2
+            f = np.full((t, 4), float(is_held), np.float32)
+            m = np.full((t, 3), 0.5, np.float32)
+            return f, m
+
+        monkeypatch.setattr(dt, "process_single_utterance", fake_process)
+        pipe = dt.DNNPipeline(use_rbm_pretrain=False)
+        clean = [np.full(100, i, np.float32) for i in range(20)]
+        train, test = pipe.prepare_arrays(clean, noises,
+                                          test_fraction=0.1,
+                                          host_workers=1)
+        # test_start = 18: jobs 18,19 are held-out-mixed; job 19 failed →
+        # the test set must be EXACTLY job 18 (20 frames), not jobs 17+18
+        assert len(test) == 18 + 2, \
+            "train/test boundary shifted after a failed test-tail job"
+        assert len(train) == sum(i + 2 for i in range(18))
+
+    def test_failed_train_job_keeps_test_pure(self, monkeypatch):
+        import sincformer_tpu.train.dnn_trainer as dt
+
+        noises = {"white": np.arange(16000, dtype=np.float32)}
+        from sincformer_tpu.data.loader import heldout_noises
+        held = heldout_noises(noises)["white"]
+        bank_by_frames = {}
+
+        def fake_process(clean, noise, snr, mask_type, fe, gfb,
+                         cache_dir=None, cache_key=None, pad_quantum=2000):
+            i = int(clean[0])
+            if i == 7:                           # a TRAIN job fails
+                return None
+            t = i + 2
+            bank_by_frames[t] = bool(np.array_equal(noise, held))
+            return (np.full((t, 4), float(i), np.float32),
+                    np.full((t, 3), 0.5, np.float32))
+
+        monkeypatch.setattr(dt, "process_single_utterance", fake_process)
+        pipe = dt.DNNPipeline(use_rbm_pretrain=False)
+        clean = [np.full(100, i, np.float32) for i in range(20)]
+        train, test = pipe.prepare_arrays(clean, noises,
+                                          test_fraction=0.1,
+                                          host_workers=1)
+        # survivors among jobs >= 18: both → test = jobs 18 (20fr) + 19
+        # (21fr); every test frame must come from a held-out-mixed job
+        assert len(test) == 20 + 21
+        assert bank_by_frames[20] and bank_by_frames[21]
+
+
+class TestCalibrateCliNoiseRotation:
+    """Round-4 review: cli `calibrate` pre-rolled the noise bank AND
+    SincformerPipeline.calibrate_gain rolls it again — np.roll by len//2
+    twice is the identity for even lengths, i.e. the gain was fitted on
+    the exact training crops the rotation exists to avoid. The CLI must
+    pass the RAW bank to sincformer (which rolls internally) and roll
+    exactly once for DCSE (whose calibrate_gain takes a pre-mixed
+    dataset)."""
+
+    def _patch_data(self, monkeypatch, raw):
+        import types
+
+        import sincformer_tpu.data as data_pkg
+        import sincformer_tpu.data.loader as loader
+        from sincformer_tpu.data.synthetic import synthetic_speech
+        monkeypatch.setattr(loader, "find_speech_files",
+                            lambda *a, **k: ["a.wav", "b.wav"])
+        monkeypatch.setattr(loader, "train_test_split",
+                            lambda files, **k: ([], list(files)))
+        monkeypatch.setattr(loader, "load_noise_signals",
+                            lambda fs: {"white": raw.copy()})
+        monkeypatch.setattr(data_pkg, "load_audio",
+                            lambda f, fs: synthetic_speech(0.5))
+        return types.SimpleNamespace(samples=2, synthetic=False)
+
+    def test_sincformer_gets_raw_bank(self, monkeypatch):
+        import sincformer_tpu.cli as cli
+        import sincformer_tpu.train.agent_trainer as at
+        raw = np.arange(16000, dtype=np.float32)
+        args = self._patch_data(monkeypatch, raw)
+        args.model = "sincformer"
+        captured = {}
+
+        class FakePipe:
+            output_gain = 1.0
+
+            def load_model(self):
+                pass
+
+            def calibrate_gain(self, clean, noises, **kw):
+                captured["noises"] = noises
+                return 1.0
+
+        monkeypatch.setattr(at, "SincformerPipeline", FakePipe)
+        cli.calibrate(args)
+        assert np.array_equal(captured["noises"]["white"], raw), \
+            "CLI must pass the RAW bank — calibrate_gain rolls it itself"
+
+    def test_dcse_rolls_exactly_once(self, monkeypatch):
+        import sincformer_tpu.cli as cli
+        import sincformer_tpu.data.loader as loader
+        import sincformer_tpu.train.dcse_trainer as dct
+        raw = np.arange(16000, dtype=np.float32)
+        args = self._patch_data(monkeypatch, raw)
+        args.model = "dcse"
+        calls = []
+        orig = loader.heldout_noises
+        monkeypatch.setattr(loader, "heldout_noises",
+                            lambda n: calls.append(1) or orig(n))
+
+        class FakePipe:
+            output_gain = 1.0
+
+            def load_model(self):
+                pass
+
+            def calibrate_gain(self, ds, **kw):
+                return 1.0
+
+        monkeypatch.setattr(dct, "DCSEPipeline", FakePipe)
+        cli.calibrate(args)
+        assert len(calls) == 1, \
+            f"DCSE branch must roll the bank exactly once, got {len(calls)}"

@@ -295,7 +295,12 @@ class TestDeviceOLA:
         whole-file device program (and therefore the host path) exactly:
         cross-fade ramps sum to 1, so per-segment numerators ADD."""
         pipe = self._dcse_pipe(tmp_path)
-        for n in (90000, 86401, 4 * 7200 * 3):    # ragged + exact tails
+        # 86800/87200: 0 < n mod hop <= overlap — the tail window pair
+        # where the OLA weights sum to 1 + fade_in and the segmented path
+        # must divide the seam out on the host (round-4 review: the
+        # numerator-only add inflated the last <= overlap samples by up
+        # to ~2x). 90000/86401/86400: ragged + exact tails as before.
+        for n in (90000, 86401, 4 * 7200 * 3, 86800, 87200):
             x = rng.standard_normal(n).astype(np.float32) * 0.3
             piped = StreamingEnhancer(pipe, window=8000, overlap=800,
                                       chunk_batch=4,
@@ -326,6 +331,22 @@ class TestDeviceOLA:
                                 pipelined=False).enhance(x)
         err = np.abs(out16.astype(np.float32) / 32768.0 - ref)
         assert np.max(err) <= 3.0 / 32768.0
+
+    def test_whole_file_cache_tracks_output_gain(self, rng, tmp_path):
+        """A long-lived server that recalibrates must not keep serving the
+        old gain: output_gain is a trace constant inside the whole-file
+        program, so the _stream_jit cache is keyed by it (round-4
+        review)."""
+        pipe = self._dcse_pipe(tmp_path)
+        se = StreamingEnhancer(pipe, window=8000, overlap=800,
+                               chunk_batch=4, pipelined=False)
+        x = rng.standard_normal(50000).astype(np.float32) * 0.3
+        out1 = se.enhance(x)
+        assert se._stream_jit                    # whole-file path compiled
+        pipe.output_gain = 2.0
+        pipe._enhance_jit.clear()                # what calibrate_gain does
+        out2 = se.enhance(x)
+        np.testing.assert_allclose(out2, out1 * 2.0, rtol=1e-5, atol=1e-6)
 
     def test_pipelined_auto_skips_short_input(self, rng, tmp_path):
         """Auto mode falls back to the whole-file program under 3
