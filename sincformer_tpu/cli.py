@@ -98,15 +98,28 @@ def demo(args):
     print(f"\n{'=' * 70}\n  Demo complete!\n{'=' * 70}\n")
 
 
-def _synthetic_corpus(n: int):
-    """Synthetic clean utterances + noise bank for dataset-free training."""
+def _synthetic_corpus(n: int, noise_kind: str = "white"):
+    """Synthetic clean utterances + noise bank for dataset-free training.
+
+    ``noise_kind="multi"`` trains under the reference's actual protocol —
+    round-robin over 4 noise types × 4 SNRs (reference
+    training/pipeline.py:423-436) — using the same 4-class synthetic
+    NOISEX stand-ins the evaluate grid uses (data/synthetic.py::
+    synthetic_noise_bank). ``"white"`` keeps the historical single-noise
+    corpus (every headline run through round 4)."""
     import numpy as np
 
+    from sincformer_tpu import config as cfg
     from sincformer_tpu.data import synthetic_noise, synthetic_speech
     rng = np.random.default_rng(42)
     clean = [synthetic_speech(1.0 + rng.random())
              * (0.6 + 0.8 * rng.random()) for _ in range(n)]
-    noises = {"white": synthetic_noise(8000 * 30, seed=7)}
+    fs = cfg.DEFAULT.audio.sample_rate
+    if noise_kind == "multi":
+        from sincformer_tpu.data.synthetic import synthetic_noise_bank
+        noises = synthetic_noise_bank(fs * 30, seed=7)
+    else:
+        noises = {"white": synthetic_noise(fs * 30, seed=7)}
     return clean, noises
 
 
@@ -115,17 +128,24 @@ def train(args):
     synthetic corpus with --synthetic N (no datasets needed)."""
     pipeline_type = getattr(args, "pipeline", "dnn")
     synthetic_n = getattr(args, "synthetic", 0)
+    noise_kind = getattr(args, "synth_noises", "white") or "white"
+    seed = getattr(args, "seed", None) or 0
+    log_path = getattr(args, "log_jsonl", None)
+    logger = None
+    if log_path:
+        from sincformer_tpu.utils.observability import MetricsLogger
+        logger = MetricsLogger(log_path)
 
     if pipeline_type in ("conformer", "dcse"):
         from sincformer_tpu.train.dcse_trainer import DCSEPipeline
         print("=" * 70)
         print("  Speech Enhancement — DCSE Conformer Training (TPU)")
         print("=" * 70)
-        pipe = DCSEPipeline()
+        pipe = DCSEPipeline(seed=seed, logger=logger)
         if synthetic_n:
             from sincformer_tpu.data.loader import (WaveformDataset,
                                                     heldout_noises)
-            clean, noises = _synthetic_corpus(synthetic_n)
+            clean, noises = _synthetic_corpus(synthetic_n, noise_kind)
             split = max(1, int(0.9 * len(clean)))
             train_ds = WaveformDataset.from_arrays(clean[:split], noises)
             # val mixes with held-out noise crops (loader.heldout_noises)
@@ -149,7 +169,7 @@ def train(args):
         print("=" * 70)
         fs = cfg.DEFAULT.audio.sample_rate
         if synthetic_n:
-            clean, noises = _synthetic_corpus(synthetic_n)
+            clean, noises = _synthetic_corpus(synthetic_n, noise_kind)
             split = max(1, int(0.9 * len(clean)))
             clean_tr, clean_te = clean[:split], clean[split:]
         else:
@@ -168,7 +188,7 @@ def train(args):
                                 pa_impl=getattr(args, "pa", None)
                                 or cfg.DEFAULT.agents.pa_impl)
         pipe = SincformerPipeline(
-            model=model,
+            model=model, seed=seed, logger=logger,
             use_adversarial=getattr(args, "adversarial", False))
         pipe.train(clean_tr, clean_te, noises, epochs=args.epochs,
                    resume=getattr(args, "resume", False))
@@ -178,11 +198,12 @@ def train(args):
         print("=" * 70)
         print("  Speech Enhancement — DNN Training (TPU)")
         print("=" * 70)
-        pipe = DNNPipeline(mask_type=args.mask_type,
+        pipe = DNNPipeline(mask_type=args.mask_type, seed=seed,
+                           logger=logger,
                            use_rbm_pretrain=not args.no_rbm)
         if synthetic_n:
             from sincformer_tpu.data.loader import load_noise_signals
-            clean, noises = _synthetic_corpus(synthetic_n)
+            clean, noises = _synthetic_corpus(synthetic_n, noise_kind)
             train_ds, test_ds = pipe.prepare_arrays(clean, noises)
         else:
             train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
@@ -216,7 +237,8 @@ def evaluate(args):
                         model_dir=cfg.DEFAULT.data.model_dir,
                         distributed=getattr(args, "distributed", False),
                         use_mesh=getattr(args, "mesh", False),
-                        synth_noises=getattr(args, "synth_noises", "white"))
+                        synth_noises=getattr(args, "synth_noises", "white"),
+                        json_out=getattr(args, "json_out", None))
 
 
 def enhance(args):
@@ -440,6 +462,19 @@ def main(argv=None):
     tp.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="Train on N synthetic utterances (no datasets "
                          "needed)")
+    tp.add_argument("--synth-noises", default="white",
+                    choices=["white", "multi"], dest="synth_noises",
+                    help="--synthetic noise bank: 'white' (historical "
+                         "single-noise corpus) or 'multi' (the reference's "
+                         "4-noise round-robin protocol, "
+                         "training/pipeline.py:423-436, via the synthetic "
+                         "NOISEX class stand-ins)")
+    tp.add_argument("--seed", type=int, default=0,
+                    help="training seed (params/dropout/routing RNG)")
+    tp.add_argument("--log-jsonl", default=None, metavar="PATH",
+                    dest="log_jsonl",
+                    help="write per-epoch structured metrics (JSONL) to "
+                         "PATH — the committed run artifact")
 
     ep = sub.add_parser("evaluate", help="Full 5-metric grid evaluation")
     ep.add_argument("--max-eval", type=int, default=50)
@@ -454,6 +489,11 @@ def main(argv=None):
                          "or 'multi' (4-class synthetic bank matching the "
                          "reference's babble/white/factory1/destroyerengine "
                          "grid)")
+    ep.add_argument("--json-out", default=None, metavar="PATH",
+                    dest="json_out",
+                    help="dump every per-cell metric value + the grand "
+                         "summary as JSON to PATH — the committed evidence "
+                         "artifact for any table derived from this run")
 
     enp = sub.add_parser("enhance", help="Enhance WAV file(s)")
     enp.add_argument("input", nargs="+", help="Input WAV path(s)")

@@ -350,7 +350,8 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
                         metrics: Sequence[str] = METRICS,
                         distributed: bool = False,
                         use_mesh: bool = False,
-                        synth_noises: str = "white"):
+                        synth_noises: str = "white",
+                        json_out: str | None = None):
     """CLI entry: discover models + data, evaluate, print tables.
 
     ``use_mesh`` shards the metric sweep over all local devices (the
@@ -358,6 +359,10 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
     (noise × SNR) cells round-robin to processes via
     :func:`evaluate_grid_distributed` (multi-host — initialise
     ``jax.distributed`` first, parallel.distributed.init_distributed).
+
+    ``json_out`` writes every per-cell metric value plus the grand summary
+    to a JSON file — the committed evidence artifact for any results table
+    derived from the run (VERDICT r4 evidence-discipline item).
     """
     model_dir = model_dir or cfg.DEFAULT.data.model_dir
     fs = cfg.DEFAULT.audio.sample_rate
@@ -428,5 +433,29 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
         results = evaluate_grid(clean_signals, noises, pipelines,
                                 snr_levels, metrics, mesh=mesh)
     summary = print_grid_tables(results, snr_levels, metrics)
+    if json_out:
+        import json
+        payload = {
+            "protocol": {"max_eval": max_eval,
+                         "n_utterances": len(clean_signals),
+                         "noises": list(noises.keys()),
+                         "snr_levels": snr_levels,
+                         "synth_noises": synth_noises,
+                         "model_dir": model_dir,
+                         "methods": list(pipelines.keys())},
+            # results[noise][method][snr][metric] = [per-utterance values]
+            "results": {nz: {m: {str(snr): {k: [float(v) for v in vals]
+                                            for k, vals in by_m.items()}
+                                 for snr, by_m in by_snr.items()}
+                             for m, by_snr in by_method.items()}
+                        for nz, by_method in results.items()},
+            "summary": {f"{m}.{k}": [mu, sd]
+                        for (m, k), (mu, sd) in summary.items()},
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(json_out)),
+                    exist_ok=True)
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"  Per-cell results + summary written to {json_out}")
     print(f"\n{'=' * 70}\n  Evaluation complete!\n{'=' * 70}")
     return summary

@@ -185,10 +185,14 @@ class StreamingEnhancer:
         the file tail when ``0 < n mod hop <= overlap``: the penultimate
         live window's fade_out is suppressed (it ends at/after n) while
         the last window still fades in, so the summed weight over
-        ``[k_last*hop, n)`` is ``1 + fade_in``. The caller divides that
-        (at most ``overlap``-sample) region out on the host, exactly as
-        the whole-file and host paths divide by their accumulated
-        weight.
+        ``[k_last*hop, n)`` is ``1 + fade_in``. That region is divided
+        out HERE, on device, before any quantization: division is linear,
+        so each segment correcting its own contribution sums to the
+        corrected total even when the tail window pair spans a segment
+        boundary. Correcting on the host instead (round 4) clipped the
+        pcm16 wire — ``float_to_pcm`` saturates at ±1 full scale, but the
+        uncorrected numerator legitimately reaches ``(1+fade_in)·|enh|``
+        ≈ 2 there (advisor round-4 medium finding).
         """
         import jax
         import jax.numpy as jnp
@@ -218,6 +222,22 @@ class StreamingEnhancer:
             live = (li * hop < n_rem) | (gi == 0)
             w = w * live[:, None].astype(jnp.float32)
             num = overlap_add(enh * w, hop, out_len)
+            # tail OLA denominator correction (docstring): local coords of
+            # the global tail region [k_last*hop, n). c_rem counts live
+            # windows from this segment's first window on, so
+            # tail_start = (c_rem-1)*hop lands at the same global samples
+            # in every segment whose span reaches them.
+            c_rem = (n_rem + hop - 1) // hop
+            tail_start = (c_rem - 1) * hop
+            tail_len = n_rem - tail_start            # n mod hop, 0 → hop
+            k_last = idx0 + c_rem - 1
+            corr_on = ((tail_len > 0) & (tail_len <= overlap)
+                       & (k_last >= 1))
+            rel = jnp.arange(out_len) - tail_start
+            corr = jnp.where(
+                corr_on & (rel >= 0) & (rel < tail_len),
+                1.0 + fade_in[jnp.clip(rel, 0, overlap - 1)], 1.0)
+            num = num / corr
             return float_to_pcm(num) if pcm16_out else num
 
         return fn
@@ -310,18 +330,8 @@ class StreamingEnhancer:
             start = s * gb * hop
             out[start:start + seg_len] += p
         out = out[:n]
-        # OLA denominator correction (see _seg_ola_fn docstring): when
-        # 0 < n mod hop <= overlap, the last live window's fade_in rides
-        # on top of a full-weight predecessor whose fade_out was
-        # suppressed, so the accumulated weight over [k_last*hop, n) is
-        # 1 + fade_in — divide it out like the whole-file/host paths do.
-        # hop > overlap (constructor asserts overlap < window//2), so at
-        # most this ONE adjacent pair can deviate.
-        c_true = max(1, math.ceil(n / hop))
-        k_last = c_true - 1
-        if k_last > 0 and (k_last - 1) * hop + self.window >= n:
-            start = k_last * hop            # n - start <= overlap, proven
-            out[start:n] /= 1.0 + self._fade_in[:n - start]
+        # The tail OLA denominator correction happens INSIDE _seg_ola_fn
+        # (per-segment, before quantization) — nothing to divide out here.
         return self._quantize_host(out) if pcm16_out else out
 
 
@@ -345,16 +355,21 @@ class StreamingEnhancer:
         sig = np.zeros(total, noisy.dtype)
         sig[:n] = noisy
         # output_gain is baked into the pipeline's _enhance_fn closure as
-        # a trace constant, so it must be part of THIS cache's key too: a
-        # long-lived server that recalibrates (calibrate_gain/load_model
-        # clear only the pipeline's own jit cache) must not keep serving
-        # the old gain for previously-compiled chunk counts.
+        # a trace constant, so the cache must track it: a long-lived
+        # server that recalibrates (calibrate_gain/load_model clear only
+        # the pipeline's own jit cache) must not keep serving the old gain
+        # for previously-compiled chunk counts. Storing (gain, fn) under a
+        # gain-free key — rather than keying BY gain — also evicts the
+        # stale executable, so repeated recalibration cannot grow the
+        # cache without bound (advisor round-4 finding).
         gain = float(getattr(self.pipeline, "output_gain", 1.0))
-        key = (c_pad, pcm16_out, gain)
-        if key not in self._stream_jit:
-            self._stream_jit[key] = self._stream_fn(c_pad, pcm16_out)
-        out = self._stream_jit[key](da[0], jnp.asarray(sig),
-                                    jnp.asarray(n, jnp.int32))
+        key = (c_pad, pcm16_out)
+        cached = self._stream_jit.get(key)
+        if cached is None or cached[0] != gain:
+            cached = (gain, self._stream_fn(c_pad, pcm16_out))
+            self._stream_jit[key] = cached
+        out = cached[1](da[0], jnp.asarray(sig),
+                        jnp.asarray(n, jnp.int32))
         return np.asarray(out[:n])
 
     def _enhance_windows(self, chunks: np.ndarray) -> np.ndarray:

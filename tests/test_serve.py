@@ -387,3 +387,70 @@ class TestDeviceOLA:
         long = rng.standard_normal(100000).astype(np.float32) * 0.5
         o2 = se.enhance(long, pcm16_out=True)
         assert o2.dtype == np.int16 and o2.shape == long.shape
+
+    def test_seg_ola_pcm16_tail_no_clipping(self):
+        """Round-4 advisor medium finding: the segmented pcm16 path used to
+        quantize the OLA numerator BEFORE the (1+fade_in) tail correction —
+        float_to_pcm saturates at ±1 full scale, but the uncorrected
+        numerator legitimately reaches (1+fade_in)·|enh| ≈ 2× there, so
+        hot audio (|enh| > ~1/(1+fade_in)) clipped on device. The
+        correction now happens inside _seg_ola_fn, before quantization."""
+        import jax.numpy as jnp
+
+        window, overlap, gb = 8000, 800, 4
+        hop = window - overlap
+        se = StreamingEnhancer(_ScalePipe(), window=window, overlap=overlap,
+                               chunk_batch=gb)
+        # n chosen so 0 < n mod hop <= overlap AND both tail windows land
+        # in the same segment (k_last = 3 < gb): the exact clipping case
+        n = 3 * hop + 400
+        enh = jnp.full((gb, window), 0.9, jnp.float32)
+
+        out16 = np.asarray(se._seg_ola_fn(True)(
+            enh, jnp.asarray(0, jnp.int32), jnp.asarray(n, jnp.int32)))
+        out_f = np.asarray(se._seg_ola_fn(False)(
+            enh, jnp.asarray(0, jnp.int32), jnp.asarray(n, jnp.int32)))
+        # the corrected tail region must read 0.9, not clip(0.9·(1+fade))
+        tail = slice(3 * hop, n)
+        np.testing.assert_allclose(out_f[tail], 0.9, atol=1e-5)
+        np.testing.assert_allclose(
+            out16[tail].astype(np.float32) / 32768.0, 0.9, atol=1.0 / 32768)
+        # and the two dtypes agree everywhere to 1 LSB
+        ref16 = np.round(np.clip(out_f * 32768.0, -32768, 32767))
+        assert np.max(np.abs(out16.astype(np.int32)
+                             - ref16.astype(np.int32))) <= 1
+
+    def test_pipelined_pcm16_hot_audio(self, rng, tmp_path):
+        """End-to-end: near-full-scale input through the pipelined pcm16
+        path matches the float path quantized on host (the old code
+        clipped the last <= overlap samples of hot audio up to ~2×)."""
+        pipe = self._dcse_pipe(tmp_path)
+        hop = 8000 - 800
+        n = 11 * hop + 400                 # tail pair in the last segment
+        x = (rng.standard_normal(n) * 28000).astype(np.int16)
+        se = StreamingEnhancer(pipe, window=8000, overlap=800,
+                               chunk_batch=4, pipelined=True)
+        out16 = se.enhance(x, pcm16_out=True)
+        ref = StreamingEnhancer(pipe, window=8000, overlap=800,
+                                chunk_batch=4,
+                                pipelined=True).enhance(x)
+        err = np.abs(out16.astype(np.float32) / 32768.0 - ref)
+        assert np.max(err) <= 3.0 / 32768.0
+
+    def test_stream_jit_cache_bounded_across_recalibrations(self, rng,
+                                                            tmp_path):
+        """Advisor round-4 low finding: recalibrating in a long-lived
+        server must EVICT the stale whole-file executable, not grow the
+        cache per gain value."""
+        pipe = self._dcse_pipe(tmp_path)
+        se = StreamingEnhancer(pipe, window=8000, overlap=800,
+                               chunk_batch=4, pipelined=False)
+        x = rng.standard_normal(50000).astype(np.float32) * 0.3
+        out1 = se.enhance(x)
+        for gain in (2.0, 3.0, 0.5):
+            pipe.output_gain = gain
+            pipe._enhance_jit.clear()      # what calibrate_gain does
+            out = se.enhance(x)
+            np.testing.assert_allclose(out, out1 * gain / 1.0,
+                                       rtol=1e-4, atol=1e-5)
+        assert len(se._stream_jit) == 1    # one entry per (c_pad, pcm16)
