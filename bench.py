@@ -394,7 +394,36 @@ def bench_streaming_rtf():
             seconds / (n_seg * rtt_ms / 1000.0), 1)
     except Exception:
         pass
+    try:
+        fields.update(_bench_online(pipe))
+    except Exception:
+        pass
     return seconds / dt, fields
+
+
+def _bench_online(pipe) -> dict:
+    """Causal online mode (serve.OnlineEnhancer, VERDICT r4 #4b): the
+    ALGORITHMIC latency is exact by construction (lookahead + chunk
+    samples); the wall time of one online step (one fixed-shape device
+    call per 20 ms chunk) is measured — through the remote tunnel the
+    round trip dominates it, on a host-local chip it is ~model time."""
+    from sincformer_tpu.serve import OnlineEnhancer
+
+    oe = OnlineEnhancer(pipe)
+    x = (np.random.default_rng(1).standard_normal(FS * 2) * 0.25
+         ).astype(np.float32)
+    oe.push(x)                            # warm the (1, context) program
+    steps = 25
+    chunk = np.zeros(oe.chunk, np.float32)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        oe.push(chunk)                    # exactly one device call each
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "online_latency_ms": round(oe.latency_samples / FS * 1000.0, 1),
+        "online_step_wall_ms": round(dt * 1000.0, 2),
+        "online_rtf": round(oe.chunk / FS / dt, 2),
+    }
 
 
 def bench_reference() -> float:

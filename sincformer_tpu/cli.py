@@ -272,9 +272,33 @@ def enhance(args):
 
     inputs = (args.input if isinstance(args.input, (list, tuple))
               else [args.input])
-    se = StreamingEnhancer(pipe)
-
     pcm16 = bool(getattr(args, "pcm16", False))
+
+    if getattr(args, "online", False):
+        # causal low-latency mode: simulate live arrival in 20 ms chunks
+        # through serve.OnlineEnhancer (bounded 50 ms algorithmic latency)
+        from sincformer_tpu.serve import OnlineEnhancer
+        if len(inputs) != 1:
+            print("  --online takes exactly one input file")
+            return
+        noisy = load_audio(inputs[0], fs)
+        oe = OnlineEnhancer(pipe)
+        print(f"  Online mode: {oe.latency_samples / fs * 1000:.0f} ms "
+              f"algorithmic latency, {oe.chunk / fs * 1000:.0f} ms chunks")
+        t0 = time.time()
+        parts = [oe.push(noisy[i:i + oe.chunk])
+                 for i in range(0, len(noisy), oe.chunk)]
+        parts.append(oe.flush())
+        enhanced = np.concatenate(parts)
+        dt = time.time() - t0
+        out = (StreamingEnhancer._quantize_host(enhanced) if pcm16
+               else np.clip(enhanced, -1.0, 1.0).astype(np.float32))
+        wavfile.write(args.output, fs, out)
+        print(f"  Enhanced → {args.output}  ({dt:.2f}s wall, "
+              f"{len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
+        return
+
+    se = StreamingEnhancer(pipe)
 
     def _towav(x):
         if x.dtype == np.int16:        # quantized on device (serve.py)
@@ -502,6 +526,11 @@ def main(argv=None):
                                     "batched on device)")
     enp.add_argument("--pcm16", action="store_true",
                      help="write 16-bit PCM WAV output (default: float32)")
+    enp.add_argument("--online", action="store_true",
+                     help="causal low-latency mode (50 ms bounded "
+                          "algorithmic latency): audio is fed in 20 ms "
+                          "chunks through the stateful online enhancer "
+                          "instead of the batch long-form path")
     enp.add_argument("--model", default=None,
                      choices=["sincformer", "conformer", "pcirm",
                               "opt_pcirm", "irm"],
