@@ -208,3 +208,54 @@ def _print_golden():
     clean, noise = _corpus()
     print({snr: round(pesq_p862(clean, add_noise_at_snr(clean, noise, snr)),
                       4) for snr in (30, 10, 0)})
+
+
+class TestMNRUConformance:
+    """Standard-derived anchors via the MNRU (ITU-T P.810), the apparatus
+    P.862's subjective validation was calibrated against (VERDICT r4 #9).
+    These are properties the STANDARD implies for any conformant
+    implementation over the validated Q = 5...45 dB span — not self-frozen
+    goldens. Absolute conformance against the ITU test vectors remains
+    oracle-gated (docs/PESQ_CONFORMANCE.md)."""
+
+    def test_strictly_monotone_in_q(self):
+        from sincformer_tpu.evaluation.p862 import mnru
+        clean, _ = _corpus()
+        qs = [5, 15, 25, 35, 45]
+        scores = [pesq_p862(clean, mnru(clean, q)) for q in qs]
+        assert all(b > a for a, b in zip(scores, scores[1:])), \
+            list(zip(qs, scores))
+
+    def test_wide_dynamic_range_over_validated_span(self):
+        # P.862's MNRU validation span covers most of the quality scale:
+        # the spread between heavily degraded (Q=5) and nearly clean
+        # (Q=45) conditions must be large, and ordered sanely
+        from sincformer_tpu.evaluation.p862 import mnru
+        clean, _ = _corpus()
+        lo = pesq_p862(clean, mnru(clean, 5))
+        hi = pesq_p862(clean, mnru(clean, 45))
+        assert hi - lo > 1.5, (lo, hi)
+        assert lo < 2.5 and hi > 3.5, (lo, hi)
+
+    def test_high_q_approaches_identity_ceiling(self):
+        from sincformer_tpu.evaluation.p862 import mnru
+        clean, _ = _corpus()
+        ident = pesq_p862(clean, clean)
+        q60 = pesq_p862(clean, mnru(clean, 60))
+        assert ident - q60 < 0.35, (ident, q60)
+
+    def test_mnru_seed_stability(self):
+        # the anchor conditions must not be noise-realization artifacts
+        from sincformer_tpu.evaluation.p862 import mnru
+        clean, _ = _corpus()
+        s = [pesq_p862(clean, mnru(clean, 25, seed=i)) for i in range(3)]
+        assert max(s) - min(s) < 0.25, s
+
+    def test_mos_lqo_of_mnru_ladder_monotone(self):
+        # composed P.862 -> P.862.1 chain stays monotone on the ladder
+        from sincformer_tpu.evaluation.p862 import mnru, mos_lqo
+        clean, _ = _corpus()
+        ys = [mos_lqo(pesq_p862(clean, mnru(clean, q)))
+              for q in (10, 25, 40)]
+        assert ys[0] < ys[1] < ys[2], ys
+        assert all(0.999 < y < 4.999 for y in ys)
