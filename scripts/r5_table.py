@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Aggregate results/r5/eval_*.json into the round-5 RESULTS tables.
+
+Every number printed here is derived from a COMMITTED per-cell artifact
+(VERDICT r4 #2): the cross-pipeline grand table, the per-noise flagship
+breakdown, and the seed mean±std table for the PA v4-vs-v5 decision.
+Run: python scripts/r5_table.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+R5 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                  "..", "results", "r5")
+METRICS = ("stoi", "pesq", "ssnr", "csii", "ncm")
+
+
+def load(name):
+    path = os.path.join(R5, f"eval_{name}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def cells(payload, method):
+    """metric -> all per-utterance values across the full grid."""
+    out = {k: [] for k in METRICS}
+    for by_method in payload["results"].values():
+        if method not in by_method:
+            return None
+        for by_snr in by_method[method].values():
+            for k in METRICS:
+                out[k].extend(by_snr[k])
+    return out
+
+
+def grand(payload, method):
+    c = cells(payload, method)
+    return None if c is None else {k: float(np.mean(v))
+                                   for k, v in c.items()}
+
+
+def per_noise(payload, method):
+    rows = {}
+    for nz, by_method in payload["results"].items():
+        vals = {k: [] for k in METRICS}
+        for by_snr in by_method[method].values():
+            for k in METRICS:
+                vals[k].extend(by_snr[k])
+        rows[nz] = {k: float(np.mean(v)) for k, v in vals.items()}
+    return rows
+
+
+def fmt(row, prec=4):
+    return " | ".join(
+        "—" if row is None else
+        (f"{row[k]:.2f}" if k == "ssnr" else f"{row[k]:.{prec}f}")
+        for k in METRICS)
+
+
+def main():
+    print("## Cross-pipeline grand table (4 noises × 4 SNRs × 8 utt, "
+          "multi-noise-trained, val protocol 2)\n")
+    print("| model | " + " | ".join(m.upper() for m in METRICS) + " |")
+    print("|---|" + "---|" * len(METRICS))
+    v4 = load("v4s0")
+    rows = [("Noisy", v4, "noisy"),
+            ("PCIRM-DNN", load("dnn"), "pcirm"),
+            ("DCSE", load("dcse"), "conformer"),
+            ("Metacog v4 (single)", v4, "sincformer"),
+            ("Metacog v5 (dual)", load("v5s0"), "sincformer"),
+            ("Metacog msa3", load("msa3"), "sincformer"),
+            ("Metacog v4 ext150", load("ext150"), "sincformer")]
+    for label, payload, method in rows:
+        row = grand(payload, method) if payload else None
+        print(f"| {label} | {fmt(row)} |")
+
+    print("\n## Flagship v4 per-noise breakdown\n")
+    if v4:
+        print("| noise | " + " | ".join(m.upper() for m in METRICS) + " |")
+        print("|---|" + "---|" * len(METRICS))
+        for nz, row in per_noise(v4, "sincformer").items():
+            print(f"| {nz} | {fmt(row)} |")
+
+    print("\n## PA v4 vs v5, 3 seeds (mean ± std over seeds)\n")
+    print("| variant | " + " | ".join(m.upper() for m in METRICS) + " |")
+    print("|---|" + "---|" * len(METRICS))
+    for variant in ("v4", "v5"):
+        per_seed = []
+        for s in (0, 1, 2):
+            p = load(f"{variant}s{s}")
+            if p:
+                g = grand(p, "sincformer")
+                if g:
+                    per_seed.append(g)
+        if not per_seed:
+            print(f"| {variant} | " + " | ".join("—" for _ in METRICS)
+                  + " |")
+            continue
+        cols = []
+        for k in METRICS:
+            vs = [g[k] for g in per_seed]
+            prec = 2 if k == "ssnr" else 4
+            cols.append(f"{np.mean(vs):.{prec}f}±{np.std(vs):.{prec}f}")
+        print(f"| {variant} (n={len(per_seed)}) | " + " | ".join(cols)
+              + " |")
+
+    # noisy-column cross-check: the eval protocol is deterministic, so
+    # the baseline must be bit-identical across every run dir
+    noisy_rows = [grand(p, "noisy") for _, p, _ in rows[1:] if p]
+    base = grand(v4, "noisy") if v4 else None
+    if base and noisy_rows:
+        worst = max(abs(r[k] - base[k]) for r in noisy_rows for k in METRICS)
+        print(f"\nnoisy-column max cross-run delta: {worst:.2e} "
+              f"({'OK — shared protocol verified' if worst < 1e-9 else 'MISMATCH'})")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
