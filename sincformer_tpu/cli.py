@@ -233,6 +233,9 @@ def evaluate(args):
     from sincformer_tpu import config as cfg
     from sincformer_tpu.evaluation.grid import run_grid_evaluation
 
+    # --ckpt best → prefer the early-stopped best-val checkpoints for
+    # every pipeline load in this process (train.state.inference_ckpt_order)
+    os.environ["SINCFORMER_CKPT_PREF"] = getattr(args, "ckpt", "final")
     run_grid_evaluation(max_eval=getattr(args, "max_eval", 50),
                         model_dir=cfg.DEFAULT.data.model_dir,
                         distributed=getattr(args, "distributed", False),
@@ -513,6 +516,10 @@ def main(argv=None):
                          "or 'multi' (4-class synthetic bank matching the "
                          "reference's babble/white/factory1/destroyerengine "
                          "grid)")
+    ep.add_argument("--ckpt", default="final", choices=["final", "best"],
+                    help="checkpoint family to score: 'final' (completed "
+                         "run — the recorded protocol) or 'best' (early-"
+                         "stopped best-validation checkpoint)")
     ep.add_argument("--json-out", default=None, metavar="PATH",
                     dest="json_out",
                     help="dump every per-cell metric value + the grand "

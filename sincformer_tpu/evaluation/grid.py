@@ -442,6 +442,8 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
                          "snr_levels": snr_levels,
                          "synth_noises": synth_noises,
                          "model_dir": model_dir,
+                         "ckpt_pref": os.environ.get(
+                             "SINCFORMER_CKPT_PREF", "final"),
                          "methods": list(pipelines.keys())},
             # results[noise][method][snr][metric] = [per-utterance values]
             "results": {nz: {m: {str(snr): {k: [float(v) for v in vals]

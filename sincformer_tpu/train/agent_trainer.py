@@ -37,6 +37,7 @@ from sincformer_tpu.train.losses import (PerceptualSTOILoss, mse_mask_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (VAL_PROTOCOL as _VAL_PROTOCOL,
                                         TrainState, guard_nan_update,
+                                        inference_ckpt_order,
                                         latest_step_dir, make_adamw,
                                         merge_train_meta, newest_checkpoint,
                                         read_train_meta, restore_checkpoint,
@@ -689,8 +690,10 @@ class SincformerPipeline:
 
     def load_model(self, path: str | None = None):
         if path is None:
-            # inference preference: the completed-run artifact first
-            for name in self._CKPT_NAMES:
+            # inference preference: completed-run artifact first by
+            # default; SINCFORMER_CKPT_PREF=best flips to the
+            # early-stopped best-val checkpoint (state.inference_ckpt_order)
+            for name in inference_ckpt_order(*self._CKPT_NAMES):
                 path = latest_step_dir(os.path.join(self.model_dir, name))
                 if path:
                     break

@@ -31,6 +31,7 @@ from sincformer_tpu.parallel.mesh import make_mesh, shard_batch
 from sincformer_tpu.train.losses import (multi_resolution_stft_loss,
                                          si_snr_loss)
 from sincformer_tpu.train.state import (TrainState, guard_nan_update,
+                                        inference_ckpt_order,
                                         latest_step_dir, make_adamw,
                                         VAL_PROTOCOL, merge_train_meta,
                                         newest_checkpoint, read_train_meta,
@@ -367,7 +368,8 @@ class DCSEPipeline:
     def load_model(self, path: str | None = None):
         """Restore params (full state) from an Orbax checkpoint dir."""
         if path is None:
-            for name in ("conformer_final", "best_conformer"):
+            for name in inference_ckpt_order("conformer_final",
+                                             "best_conformer"):
                 path = latest_step_dir(os.path.join(self.model_dir, name))
                 if path:
                     break

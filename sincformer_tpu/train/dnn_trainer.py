@@ -569,11 +569,13 @@ class DNNPipeline:
     def load_model(self, path: str | None = None):
         import json
 
-        from sincformer_tpu.train.state import (latest_step_dir,
+        from sincformer_tpu.train.state import (inference_ckpt_order,
+                                                latest_step_dir,
                                                 restore_checkpoint)
         if path is None:
-            for name in (f"dnn_{self.mask_type}_final",
-                         f"best_{self.mask_type}"):
+            for name in inference_ckpt_order(
+                    f"dnn_{self.mask_type}_final",
+                    f"best_{self.mask_type}"):
                 path = latest_step_dir(os.path.join(self.model_dir, name))
                 if path:
                     break

@@ -164,6 +164,24 @@ def newest_checkpoint(model_dir: str, names) -> Optional[str]:
     return best
 
 
+def inference_ckpt_order(final_name: str, best_name: str):
+    """Checkpoint-family preference for INFERENCE loads (``load_model``
+    with no explicit path).
+
+    The default prefers the completed-run artifact (``*_final``) — the
+    historical behavior every committed eval protocol used. Setting
+    ``SINCFORMER_CKPT_PREF=best`` (CLI: ``evaluate --ckpt best``) flips
+    the order to the early-stopped best-validation checkpoint, which is
+    the deployment-correct choice when training ran past its val optimum
+    (measured: the 150-epoch extended run's final checkpoint loses
+    ~3.5 dB grid SSNR vs its epoch-29 best). Resume is unaffected — it
+    uses :func:`newest_checkpoint` (max step across families)."""
+    pref = os.environ.get("SINCFORMER_CKPT_PREF", "final").strip().lower()
+    if pref == "best":
+        return (best_name, final_name)
+    return (final_name, best_name)
+
+
 def write_train_meta(model_dir: str, name: str, meta: dict) -> None:
     """Sidecar JSON next to a named checkpoint family (host metadata the
     orbax tree shouldn't carry — best val loss, epoch, wall time)."""

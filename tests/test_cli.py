@@ -169,3 +169,55 @@ class TestRound5Flags:
         fs, y = wavfile.read(dst)
         assert y.shape == x.shape
         np.testing.assert_allclose(y, x, atol=2e-4)
+
+
+class TestCkptPreference:
+    """evaluate --ckpt best flips every pipeline's inference load order
+    (train.state.inference_ckpt_order); default stays final-first (the
+    recorded round-5 eval protocol)."""
+
+    def test_order_default_and_best(self, monkeypatch):
+        from sincformer_tpu.train.state import inference_ckpt_order
+        monkeypatch.delenv("SINCFORMER_CKPT_PREF", raising=False)
+        assert inference_ckpt_order("f", "b") == ("f", "b")
+        monkeypatch.setenv("SINCFORMER_CKPT_PREF", "best")
+        assert inference_ckpt_order("f", "b") == ("b", "f")
+        monkeypatch.setenv("SINCFORMER_CKPT_PREF", "final")
+        assert inference_ckpt_order("f", "b") == ("f", "b")
+
+    def test_evaluate_ckpt_flag_listed(self, capsys):
+        with pytest.raises(SystemExit):
+            cli.main(["evaluate", "--help"])
+        out = capsys.readouterr().out
+        assert "--ckpt" in out
+
+    def test_evaluate_sets_env(self, monkeypatch, capsys):
+        import sincformer_tpu.evaluation.grid as grid_mod
+
+        seen = {}
+
+        def fake_grid(**kw):
+            seen["pref"] = os.environ.get("SINCFORMER_CKPT_PREF")
+
+        monkeypatch.setattr(grid_mod, "run_grid_evaluation", fake_grid)
+        cli.main(["evaluate", "--ckpt", "best", "--max-eval", "1"])
+        assert seen["pref"] == "best"
+        cli.main(["evaluate", "--max-eval", "1"])
+        assert seen["pref"] == "final"
+
+    def test_agent_load_prefers_best_when_asked(self, tmp_path,
+                                                monkeypatch):
+        # two checkpoint families on disk; load_model(None) must pick the
+        # family the preference names, independent of step numbers
+        from sincformer_tpu.train.state import inference_ckpt_order
+        for fam, step in (("sincformer_final", 99), ("best_sincformer", 7)):
+            (tmp_path / fam / f"step_{step}").mkdir(parents=True)
+        from sincformer_tpu.train.state import latest_step_dir
+        monkeypatch.setenv("SINCFORMER_CKPT_PREF", "best")
+        order = inference_ckpt_order("sincformer_final", "best_sincformer")
+        path = None
+        for name in order:
+            path = latest_step_dir(str(tmp_path / name))
+            if path:
+                break
+        assert path is not None and "best_sincformer" in path
