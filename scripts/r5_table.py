@@ -4,7 +4,9 @@
 Every number printed here is derived from a COMMITTED per-cell artifact
 (VERDICT r4 #2): the cross-pipeline grand table, the per-noise flagship
 breakdown, and the seed mean±std table for the PA v4-vs-v5 decision.
-Run: python scripts/r5_table.py
+Run: python scripts/r5_table.py            # print to stdout
+     python scripts/r5_table.py --write    # splice into RESULTS.md between
+                                           # <!-- R5_TABLES --> markers
 """
 
 from __future__ import annotations
@@ -112,6 +114,53 @@ def main():
         print(f"| {variant} (n={len(per_seed)}) | " + " | ".join(cols)
               + " |")
 
+    # ── final vs best (early-stopped) checkpoints ──────────────────────
+    # eval_<name>.json scored the *final* checkpoint (historical load
+    # preference); eval_best_<name>.json re-scores the best-val one via
+    # `evaluate --ckpt best`. Report both + the SSNR gap.
+    best_names = [("Metacog v4 (single)", "v4s0", "sincformer"),
+                  ("Metacog v5 (dual)", "v5s0", "sincformer"),
+                  ("DCSE", "dcse", "conformer"),
+                  ("PCIRM-DNN", "dnn", "pcirm"),
+                  ("Metacog msa3", "msa3", "sincformer"),
+                  ("Metacog v4 ext150", "ext", "sincformer")]
+    have_best = any(load(f"best_{n}") for _, n, _ in best_names)
+    if have_best:
+        print("\n## Final vs best-val checkpoint (early stopping), "
+              "same grid\n")
+        print("| model | ckpt | " + " | ".join(m.upper() for m in METRICS)
+              + " | ΔSSNR |")
+        print("|---|---|" + "---|" * (len(METRICS) + 1))
+        for label, name, method in best_names:
+            fin = load(name if name != "ext" else "ext150")
+            bst = load(f"best_{name}")
+            g_f = grand(fin, method) if fin else None
+            g_b = grand(bst, method) if bst else None
+            d = (f"{g_b['ssnr'] - g_f['ssnr']:+.2f}"
+                 if g_f and g_b else "—")
+            print(f"| {label} | final | {fmt(g_f)} | |")
+            print(f"| {label} | best | {fmt(g_b)} | {d} |")
+
+    # ── training-curve summary (saturation probe, VERDICT r4 #6) ──────
+    import glob as _glob
+    curves = sorted(_glob.glob(os.path.join(R5, "train_*.jsonl")))
+    if curves:
+        print("\n## Training curves: best-val epoch per run "
+              "(saturation probe)\n")
+        print("| run | epochs | best-val epoch | best val | final val |")
+        print("|---|---|---|---|---|")
+        for path in curves:
+            rows_j = [json.loads(ln) for ln in open(path)]
+            rows_j = [r for r in rows_j
+                      if r.get("val_loss") is not None]
+            if not rows_j:
+                continue
+            b = min(rows_j, key=lambda r: r["val_loss"])
+            name = os.path.basename(path)[len("train_"):-len(".jsonl")]
+            print(f"| {name} | {rows_j[0]['epoch']}–{rows_j[-1]['epoch']} "
+                  f"| {b['epoch']} | {b['val_loss']:.4f} "
+                  f"| {rows_j[-1]['val_loss']:.4f} |")
+
     # noisy-column cross-check: the eval protocol is deterministic, so
     # the baseline must be bit-identical across every run dir
     noisy_rows = [grand(p, "noisy") for _, p, _ in rows[1:] if p]
@@ -122,5 +171,34 @@ def main():
               f"({'OK — shared protocol verified' if worst < 1e-9 else 'MISMATCH'})")
 
 
+def write_results_md():
+    """Regenerate the table block in RESULTS.md (idempotent): everything
+    between ``<!-- R5_TABLES -->`` and ``<!-- /R5_TABLES -->`` is replaced
+    by this script's stdout, so the committed tables are always derivable
+    from the committed artifacts by one command."""
+    import io
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main()
+    results = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "RESULTS.md")
+    text = open(results).read()
+    start, end = "<!-- R5_TABLES -->", "<!-- /R5_TABLES -->"
+    block = f"{start}\n\n{buf.getvalue().rstrip()}\n\n{end}"
+    if end in text:
+        import re
+        text = re.sub(re.escape(start) + ".*?" + re.escape(end),
+                      lambda _: block, text, count=1, flags=re.S)
+    else:
+        text = text.replace(start, block, 1)
+    with open(results, "w") as f:
+        f.write(text)
+    print(f"RESULTS.md table block updated ({len(buf.getvalue())} chars)")
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--write" in sys.argv:
+        write_results_md()
+    else:
+        sys.exit(main())
