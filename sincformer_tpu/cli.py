@@ -98,7 +98,8 @@ def demo(args):
     print(f"\n{'=' * 70}\n  Demo complete!\n{'=' * 70}\n")
 
 
-def _synthetic_corpus(n: int, noise_kind: str = "white"):
+def _synthetic_corpus(n: int, noise_kind: str = "white",
+                      speech_kind: str = "formant"):
     """Synthetic clean utterances + noise bank for dataset-free training.
 
     ``noise_kind="multi"`` trains under the reference's actual protocol —
@@ -106,14 +107,24 @@ def _synthetic_corpus(n: int, noise_kind: str = "white"):
     training/pipeline.py:423-436) — using the same 4-class synthetic
     NOISEX stand-ins the evaluate grid uses (data/synthetic.py::
     synthetic_noise_bank). ``"white"`` keeps the historical single-noise
-    corpus (every headline run through round 4)."""
+    corpus (every headline run through round 4).
+
+    ``speech_kind="varied"`` draws a distinct randomized utterance per
+    index (data/synthetic.py::synthetic_speech_varied) instead of n
+    copies of the reference's one fixed formant pattern — the round-5
+    speech-diversity probe."""
     import numpy as np
 
     from sincformer_tpu import config as cfg
-    from sincformer_tpu.data import synthetic_noise, synthetic_speech
+    from sincformer_tpu.data import (synthetic_noise, synthetic_speech,
+                                     synthetic_speech_varied)
     rng = np.random.default_rng(42)
-    clean = [synthetic_speech(1.0 + rng.random())
-             * (0.6 + 0.8 * rng.random()) for _ in range(n)]
+    if speech_kind == "varied":
+        clean = [synthetic_speech_varied(1.0 + rng.random(), seed=1000 + i)
+                 * (0.6 + 0.8 * rng.random()) for i in range(n)]
+    else:
+        clean = [synthetic_speech(1.0 + rng.random())
+                 * (0.6 + 0.8 * rng.random()) for _ in range(n)]
     fs = cfg.DEFAULT.audio.sample_rate
     if noise_kind == "multi":
         from sincformer_tpu.data.synthetic import synthetic_noise_bank
@@ -129,6 +140,7 @@ def train(args):
     pipeline_type = getattr(args, "pipeline", "dnn")
     synthetic_n = getattr(args, "synthetic", 0)
     noise_kind = getattr(args, "synth_noises", "white") or "white"
+    speech_kind = getattr(args, "synth_speech", "formant") or "formant"
     seed = getattr(args, "seed", None) or 0
     log_path = getattr(args, "log_jsonl", None)
     logger = None
@@ -145,7 +157,8 @@ def train(args):
         if synthetic_n:
             from sincformer_tpu.data.loader import (WaveformDataset,
                                                     heldout_noises)
-            clean, noises = _synthetic_corpus(synthetic_n, noise_kind)
+            clean, noises = _synthetic_corpus(synthetic_n, noise_kind,
+                                              speech_kind)
             split = max(1, int(0.9 * len(clean)))
             train_ds = WaveformDataset.from_arrays(clean[:split], noises)
             # val mixes with held-out noise crops (loader.heldout_noises)
@@ -169,7 +182,8 @@ def train(args):
         print("=" * 70)
         fs = cfg.DEFAULT.audio.sample_rate
         if synthetic_n:
-            clean, noises = _synthetic_corpus(synthetic_n, noise_kind)
+            clean, noises = _synthetic_corpus(synthetic_n, noise_kind,
+                                              speech_kind)
             split = max(1, int(0.9 * len(clean)))
             clean_tr, clean_te = clean[:split], clean[split:]
         else:
@@ -203,7 +217,8 @@ def train(args):
                            use_rbm_pretrain=not args.no_rbm)
         if synthetic_n:
             from sincformer_tpu.data.loader import load_noise_signals
-            clean, noises = _synthetic_corpus(synthetic_n, noise_kind)
+            clean, noises = _synthetic_corpus(synthetic_n, noise_kind,
+                                              speech_kind)
             train_ds, test_ds = pipe.prepare_arrays(clean, noises)
         else:
             train_ds, test_ds = pipe.prepare_data(max_train=args.max_train,
@@ -241,6 +256,8 @@ def evaluate(args):
                         distributed=getattr(args, "distributed", False),
                         use_mesh=getattr(args, "mesh", False),
                         synth_noises=getattr(args, "synth_noises", "white"),
+                        synth_speech=getattr(args, "synth_speech",
+                                             "formant"),
                         json_out=getattr(args, "json_out", None))
 
 
@@ -451,7 +468,7 @@ def info(args):
           f"{os.path.exists(cfg.DEFAULT.data.noisex_dir)}")
 
 
-def main(argv=None):
+def build_parser():
     parser = argparse.ArgumentParser(
         prog="sincformer_tpu",
         description="TPU-native speech enhancement: PSO-DNN with "
@@ -496,6 +513,13 @@ def main(argv=None):
                          "4-noise round-robin protocol, "
                          "training/pipeline.py:423-436, via the synthetic "
                          "NOISEX class stand-ins)")
+    tp.add_argument("--synth-speech", default="formant",
+                    choices=["formant", "varied"], dest="synth_speech",
+                    help="--synthetic utterance generator: 'formant' (the "
+                         "reference's one fixed demo pattern, main.py:51-63)"
+                         " or 'varied' (per-utterance randomized f0/formant/"
+                         "segment structure — the round-5 speech-diversity "
+                         "probe)")
     tp.add_argument("--seed", type=int, default=0,
                     help="training seed (params/dropout/routing RNG)")
     tp.add_argument("--log-jsonl", default=None, metavar="PATH",
@@ -516,6 +540,12 @@ def main(argv=None):
                          "or 'multi' (4-class synthetic bank matching the "
                          "reference's babble/white/factory1/destroyerengine "
                          "grid)")
+    ep.add_argument("--synth-speech", default="formant",
+                    choices=["formant", "varied"], dest="synth_speech",
+                    help="no-TIMIT fallback utterances: 'formant' (recorded "
+                         "protocol) or 'varied' (randomized per-utterance "
+                         "speech — scores are NOT comparable across the two "
+                         "corpora)")
     ep.add_argument("--ckpt", default="final", choices=["final", "best"],
                     help="checkpoint family to score: 'final' (completed "
                          "run — the recorded protocol) or 'best' (early-"
@@ -558,6 +588,11 @@ def main(argv=None):
     tstp = sub.add_parser("test", help="Alias for evaluate")
     tstp.add_argument("--max-eval", type=int, default=50)
 
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
     args = parser.parse_args(argv)
     if args.command == "demo":
         demo(args)

@@ -351,6 +351,7 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
                         distributed: bool = False,
                         use_mesh: bool = False,
                         synth_noises: str = "white",
+                        synth_speech: str = "formant",
                         json_out: str | None = None):
     """CLI entry: discover models + data, evaluate, print tables.
 
@@ -398,11 +399,21 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
             except Exception:
                 continue
     else:
-        print("  ! No TIMIT data — falling back to synthetic utterances")
-        from sincformer_tpu.data.synthetic import synthetic_speech
+        print("  ! No TIMIT data — falling back to synthetic utterances"
+              f" (speech={synth_speech})")
         rng = np.random.default_rng(cfg.DEFAULT.data.eval_sample_seed)
-        clean_signals = [synthetic_speech(2.0) * (0.7 + 0.6 * rng.random())
-                         for _ in range(min(max_eval, 8))]
+        if synth_speech == "varied":
+            # held-out utterance seeds: disjoint from the training corpus's
+            # 1000+i range (cli._synthetic_corpus) by construction
+            from sincformer_tpu.data.synthetic import synthetic_speech_varied
+            clean_signals = [synthetic_speech_varied(2.0, seed=500_000 + i)
+                             * (0.7 + 0.6 * rng.random())
+                             for i in range(min(max_eval, 8))]
+        else:
+            from sincformer_tpu.data.synthetic import synthetic_speech
+            clean_signals = [synthetic_speech(2.0)
+                             * (0.7 + 0.6 * rng.random())
+                             for _ in range(min(max_eval, 8))]
 
     noises = load_noise_signals(fs, synth_fallback=synth_noises)
     snr_levels = list(cfg.DEFAULT.data.snr_levels)
@@ -441,6 +452,7 @@ def run_grid_evaluation(max_eval: int = 50, model_dir: str | None = None,
                          "noises": list(noises.keys()),
                          "snr_levels": snr_levels,
                          "synth_noises": synth_noises,
+                         "synth_speech": synth_speech,
                          "model_dir": model_dir,
                          "ckpt_pref": os.environ.get(
                              "SINCFORMER_CKPT_PREF", "final"),
