@@ -141,6 +141,41 @@ def main():
             print(f"| {label} | final | {fmt(g_f)} | |")
             print(f"| {label} | best | {fmt(g_b)} | {d} |")
 
+    # ── speech-diversity probe (round-5b): varied-utterance corpus ────
+    # Scores on the varied grid use different clean signals than the
+    # formant grid — the two tables are NOT cross-comparable; the noisy
+    # row anchors each grid.
+    vd = load("vd64_varied")
+    if vd:
+        print("\n## Speech-diversity probe: varied-utterance grid "
+              "(4 noises × 4 SNRs × 8 held-out varied utt)\n")
+        print("| model (training corpus) | "
+              + " | ".join(m.upper() for m in METRICS) + " |")
+        print("|---|" + "---|" * len(METRICS))
+        vrows = [("Noisy", vd, "noisy"),
+                 ("Metacog v4 (64 varied)", vd, "sincformer"),
+                 ("Metacog v4 (256 varied)", load("vd256_varied"),
+                  "sincformer"),
+                 ("Metacog v4 (64 formant)", load("v4s0_varied"),
+                  "sincformer"),
+                 ("DCSE (64 varied)", load("dcse_vd"), "conformer")]
+        for label, payload, method in vrows:
+            row = grand(payload, method) if payload else None
+            print(f"| {label} | {fmt(row)} |")
+        xf = load("vd64_formant")
+        if xf:
+            print("\nCross-corpus: the varied-trained flagship scored on "
+                  "the FORMANT grid (vs the formant-trained v4s0 row of "
+                  "the grand table):\n")
+            print("| model | " + " | ".join(m.upper() for m in METRICS)
+                  + " |")
+            print("|---|" + "---|" * len(METRICS))
+            print(f"| Metacog v4 (64 varied) on formant grid | "
+                  f"{fmt(grand(xf, 'sincformer'))} |")
+            if v4:
+                print(f"| Metacog v4 (64 formant) on formant grid | "
+                      f"{fmt(grand(v4, 'sincformer'))} |")
+
     # ── training-curve summary (saturation probe, VERDICT r4 #6) ──────
     import glob as _glob
     curves = sorted(_glob.glob(os.path.join(R5, "train_*.jsonl")))
