@@ -227,6 +227,24 @@ def bench_sincformer_ssm_rtf():
     return bench_sincformer_rtf(cpea_impl="ssm", prefix="sincformer_ssm")
 
 
+def bench_sincformer_msa3_rtf():
+    """The 3-block MSA inference preset (SINCFORMER_MSA_BLOCKS=3), same
+    protocol. Round 5 established depth 4→3 is quality-neutral under the
+    full 50-epoch multi-noise protocol (RESULTS.md round-5 finding #6,
+    results/r5/eval_msa3.json) and prices it here: 24,003 RTF vs 23,272
+    for the 4-block default in the in-round run — the recommended
+    inference preset."""
+    saved = os.environ.get("SINCFORMER_MSA_BLOCKS")
+    os.environ["SINCFORMER_MSA_BLOCKS"] = "3"
+    try:
+        return bench_sincformer_rtf(prefix="sincformer_msa3")
+    finally:
+        if saved is None:
+            os.environ.pop("SINCFORMER_MSA_BLOCKS", None)
+        else:
+            os.environ["SINCFORMER_MSA_BLOCKS"] = saved
+
+
 def bench_sincformer_train_step_ms():
     """One jitted metacog curriculum train step, batch 8 × 4 s, f32."""
     import jax
@@ -331,6 +349,34 @@ def bench_tunnel_rtt_ms() -> float:
     return best * 1000.0
 
 
+def bench_tunnel_bandwidth_mb_s() -> tuple[float, float]:
+    """Host↔device transfer bandwidth (MB/s up, down) on this relay.
+
+    A ~4 MB int16 payload (the PCM16 serving wire format), min of 3.
+    Upload completion is forced by fetching one dependent element (the
+    axon backend's block_until_ready is a no-op); the measured times have
+    one RTT subtracted so the figure is the bandwidth term alone."""
+    import jax
+
+    rtt = bench_tunnel_rtt_ms() / 1000.0
+    host = np.arange(2_000_000, dtype=np.int16)      # 4 MB
+    mb = host.nbytes / 1e6
+    d = jax.device_put(host)
+    np.asarray(d)                                     # warm both directions
+    up = dn = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = jax.device_put(host)
+        int(d[-1])                    # forces the upload, costs one RTT
+        up = min(up, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(d)
+        dn = min(dn, time.perf_counter() - t0)
+    up = max(up - rtt, 1e-6)
+    dn = max(dn - rtt, 1e-6)
+    return mb / up, mb / dn
+
+
 def bench_streaming_rtf():
     """Long-form serving path: 10 minutes of audio through
     StreamingEnhancer on the DCSE model — wall-clock including transfers.
@@ -387,11 +433,22 @@ def bench_streaming_rtf():
     fields = {}
     try:
         rtt_ms = bench_tunnel_rtt_ms()
+        bw_up, bw_dn = bench_tunnel_bandwidth_mb_s()
         hop = se.window - se.overlap
         n_seg = math.ceil(math.ceil(len(wav) / hop) / se.chunk_batch)
         fields["tunnel_rtt_ms"] = round(rtt_ms, 2)
-        fields["streaming_floor_rtf"] = round(
-            seconds / (n_seg * rtt_ms / 1000.0), 1)
+        fields["tunnel_bw_up_mb_s"] = round(bw_up, 1)
+        fields["tunnel_bw_down_mb_s"] = round(bw_dn, 1)
+        # compound serving floor: per-segment dispatch round trips PLUS
+        # moving the PCM16 audio through the tunnel both ways. The round-5
+        # in-round run showed the RTT-only floor (4679) is 8x above the
+        # measured RTF (586) — the path is BANDWIDTH-bound on this relay,
+        # so the floor must price the bytes too or it can't explain the
+        # number. On a host-attached chip both tunnel terms vanish.
+        bytes_each_way = len(wav) * 2 / 1e6           # MB of int16
+        floor_s = (n_seg * rtt_ms / 1000.0
+                   + bytes_each_way / bw_up + bytes_each_way / bw_dn)
+        fields["streaming_floor_rtf"] = round(seconds / floor_s, 1)
     except Exception:
         pass
     try:
@@ -419,11 +476,22 @@ def _bench_online(pipe) -> dict:
     for _ in range(steps):
         oe.push(chunk)                    # exactly one device call each
     dt = (time.perf_counter() - t0) / steps
-    return {
+    fields = {
         "online_latency_ms": round(oe.latency_samples / FS * 1000.0, 1),
         "online_step_wall_ms": round(dt * 1000.0, 2),
         "online_rtf": round(oe.chunk / FS / dt, 2),
     }
+    try:
+        # tunnel ceiling for the online mode: one dispatch round trip per
+        # chunk is irreducible on this relay, so RTF can't beat
+        # chunk_seconds / rtt (e.g. 20 ms chunks over a 25 ms RTT cap at
+        # 0.78x). Host-attached, the same step is ~model-time only.
+        rtt_ms = bench_tunnel_rtt_ms()
+        fields["online_floor_rtf"] = round(
+            (oe.chunk / FS) / (rtt_ms / 1000.0), 2)
+    except Exception:
+        pass
+    return fields
 
 
 def bench_reference() -> float:
@@ -497,6 +565,13 @@ def _probe_backend(timeout: float, attempts: int) -> str | None:
 
 
 def main():
+    # persistent XLA compile cache beside the repo: the bench's ~10 jitted
+    # programs compile over the tunnel (~20-40 s each cold); any prior
+    # in-round run (protocol queue, focused bench) leaves them warm
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
     probe_timeout = float(os.environ.get(
         "SINCFORMER_BENCH_PROBE_TIMEOUT", "600"))
     probe_attempts = int(os.environ.get(
@@ -541,6 +616,7 @@ def _run_benchmarks(timer):
     for key, fn in (("dcse_fused_rtf", bench_dcse_fused_rtf),
                     ("sincformer_rtf", bench_sincformer_rtf),
                     ("sincformer_ssm_rtf", bench_sincformer_ssm_rtf),
+                    ("sincformer_msa3_rtf", bench_sincformer_msa3_rtf),
                     ("sincformer_train_step_ms",
                      bench_sincformer_train_step_ms),
                     ("dnn_rtf", bench_dnn_rtf),
