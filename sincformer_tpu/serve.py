@@ -578,27 +578,45 @@ class OnlineEnhancer:
             return np.asarray(batch_fn(window[None, :]))[0]
         return np.asarray(self.pipeline.enhance_signal(window))
 
+    # -- per-stream bookkeeping, shared with OnlineEnhancerPool --------
+    def _feed(self, samples: np.ndarray) -> None:
+        """Buffer input without enhancing (the pool batches the compute)."""
+        samples = np.asarray(samples, np.float32).ravel()
+        self._buf = np.concatenate([self._buf, samples])
+        self._received += len(samples)
+
+    def _ready(self) -> bool:
+        # a chunk [e, e+chunk) is final once input through e+chunk+lookahead
+        # has arrived
+        return self._emitted + self.chunk + self.lookahead <= self._received
+
+    def _next_window(self) -> np.ndarray:
+        """Window for the next finalizable chunk (caller checked _ready)."""
+        return self._window_for(self._emitted + self.chunk + self.lookahead)
+
+    def _accept(self, enh: np.ndarray) -> np.ndarray:
+        """Take the enhanced window for the next chunk, advance the emit
+        counter, drop buffer past we can never need again; returns the
+        finalized ``chunk`` samples."""
+        out = enh[self.context - self.lookahead - self.chunk:
+                  self.context - self.lookahead]
+        self._emitted += self.chunk
+        end = self._emitted + self.lookahead
+        keep_from = max(self._trimmed, end - self.context)
+        if keep_from > self._trimmed:
+            self._buf = self._buf[keep_from - self._trimmed:]
+            self._trimmed = keep_from
+        return out
+
     def push(self, samples: np.ndarray) -> np.ndarray:
         """Feed arbitrary-length audio; returns whatever enhanced audio
         became final (possibly empty). Output, concatenated across calls,
         is sample-aligned with the input stream."""
-        samples = np.asarray(samples, np.float32).ravel()
-        self._buf = np.concatenate([self._buf, samples])
-        self._received += len(samples)
+        self._feed(samples)
         out = []
-        # a chunk [e, e+chunk) is final once input through e+chunk+lookahead
-        # has arrived
-        while self._emitted + self.chunk + self.lookahead <= self._received:
-            end = self._emitted + self.chunk + self.lookahead
-            enh = self._enhance_window(self._window_for(end))
-            out.append(enh[self.context - self.lookahead - self.chunk:
-                           self.context - self.lookahead])
-            self._emitted += self.chunk
-            # drop buffer past we can never need again
-            keep_from = max(self._trimmed, end - self.context)
-            if keep_from > self._trimmed:
-                self._buf = self._buf[keep_from - self._trimmed:]
-                self._trimmed = keep_from
+        while self._ready():
+            out.append(self._accept(
+                self._enhance_window(self._next_window())))
         return (np.concatenate(out) if out
                 else np.zeros(0, np.float32))
 
@@ -613,3 +631,108 @@ class OnlineEnhancer:
         out = self.push(np.zeros(npad, np.float32))
         self._received -= npad             # the pad was not real input
         return out[:remaining]
+
+
+class OnlineEnhancerPool:
+    """Batched multi-stream online serving: ``n_streams`` concurrent
+    :class:`OnlineEnhancer` streams advanced by ONE fixed-shape
+    ``(n_streams, context)`` device call per step.
+
+    Why it exists: the single-stream online mode pays one device dispatch
+    per 20 ms chunk — through a remote-TPU tunnel whose round trip is on
+    the order of the chunk time that caps ONE stream near real time and
+    leaves the chip almost idle (bench.py ``online_rtf`` /
+    ``online_floor_rtf``). A production server holds many concurrent
+    calls; stepping them together amortizes the dispatch round trip over
+    the whole pool AND feeds the MXU a real batch, so aggregate
+    throughput scales ~linearly with ``n_streams`` until the model
+    saturates the chip. (The reference has no online mode at all —
+    SURVEY §5 long-context; this is the TPU-native serving shape for
+    live traffic.)
+
+    Per-stream semantics are IDENTICAL to :class:`OnlineEnhancer`: the
+    same sliding-window construction, the same bounded
+    ``lookahead + chunk`` algorithmic latency, parity-tested to the
+    solo implementation. The batch is always ``(n_streams, context)`` —
+    rows of streams with no finalizable chunk are zeros and their model
+    output is discarded — so every step hits one compiled executable.
+
+    Usage: :meth:`push` buffers a stream's input; :meth:`step` advances
+    every stream that has a finalizable chunk (no-op when none has);
+    :meth:`run` steps until drained; :meth:`take` collects a stream's
+    finalized audio; :meth:`flush` ends a stream and returns everything
+    of it not yet taken.
+    """
+
+    def __init__(self, pipeline, n_streams: int, context: int = 8000,
+                 chunk: int = 160, lookahead: int = 240, hop: int = 80):
+        if n_streams < 1:
+            raise ValueError("n_streams must be >= 1")
+        self.pipeline = pipeline
+        self.streams = [
+            OnlineEnhancer(pipeline, context=context, chunk=chunk,
+                           lookahead=lookahead, hop=hop)
+            for _ in range(n_streams)]
+        self.n_streams = n_streams
+        self.context = context
+        self.chunk = chunk
+        self.lookahead = lookahead
+        self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
+
+    @property
+    def latency_samples(self) -> int:
+        """Per-stream algorithmic latency — identical to the solo mode."""
+        return self.streams[0].latency_samples
+
+    def push(self, stream_id: int, samples: np.ndarray) -> None:
+        """Buffer input for one stream (no device work — see step())."""
+        self.streams[stream_id]._feed(samples)
+
+    def step(self) -> int:
+        """One batched device call advancing every ready stream by one
+        chunk; returns how many streams advanced (0 = nothing ready,
+        no device call made)."""
+        ready = [i for i, s in enumerate(self.streams) if s._ready()]
+        if not ready:
+            return 0
+        batch = np.zeros((self.n_streams, self.context), np.float32)
+        for i in ready:
+            batch[i] = self.streams[i]._next_window()
+        enh = np.asarray(self.pipeline.enhance_batch(batch))
+        for i in ready:
+            self._out[i].append(self.streams[i]._accept(enh[i]))
+        return len(ready)
+
+    def run(self) -> int:
+        """Step until no stream has a finalizable chunk; returns the
+        number of batched device calls made."""
+        n = 0
+        while self.step():
+            n += 1
+        return n
+
+    def take(self, stream_id: int) -> np.ndarray:
+        """Collect (and clear) a stream's finalized-but-undelivered
+        audio. Concatenated across take()/flush(), a stream's output is
+        sample-aligned with its input, exactly as in the solo mode."""
+        chunks, self._out[stream_id] = self._out[stream_id], []
+        return (np.concatenate(chunks) if chunks
+                else np.zeros(0, np.float32))
+
+    def flush(self, stream_id: int) -> np.ndarray:
+        """End one stream: zero-pad its future, drain the pool, and
+        return everything of the stream not yet taken (other ready
+        streams also advance during the drain — their chunks stay queued
+        for their own take())."""
+        s = self.streams[stream_id]
+        head = self.take(stream_id)
+        remaining = s._received - s._emitted
+        if remaining <= 0:
+            return head
+        k = (remaining + self.chunk - 1) // self.chunk
+        npad = k * self.chunk + self.lookahead - remaining
+        s._feed(np.zeros(npad, np.float32))
+        self.run()
+        s._received -= npad                # the pad was not real input
+        tail = self.take(stream_id)[:remaining]
+        return np.concatenate([head, tail])

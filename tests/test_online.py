@@ -13,7 +13,7 @@ The OnlineEnhancer contract under test:
 import numpy as np
 import pytest
 
-from sincformer_tpu.serve import OnlineEnhancer
+from sincformer_tpu.serve import OnlineEnhancer, OnlineEnhancerPool
 
 
 class _BatchScalePipe:
@@ -130,6 +130,69 @@ class TestOnlineEnhancer:
         assert out.shape == x.shape
         np.testing.assert_allclose(out, x * 0.5, atol=1e-6)
         assert len(oe.flush()) == 0        # idempotent
+
+    def test_pool_parity_with_solo_scale_pipe(self, rng):
+        """Pool streams are bit-identical to solo OnlineEnhancers on a
+        linear pipe, across ragged per-stream push sizes and staggered
+        arrival — the pool batches the compute, never changes the math."""
+        pipe = _BatchScalePipe()
+        pool = OnlineEnhancerPool(pipe, n_streams=3, context=2000,
+                                  chunk=160, lookahead=240)
+        xs = [rng.standard_normal(n).astype(np.float32)
+              for n in (3000, 1100, 4200)]
+        # staggered, ragged arrival: stream 1 starts late, stream 2 in
+        # dribs and drabs
+        pool.push(0, xs[0][:500]);  pool.push(2, xs[2][:37])
+        pool.run()
+        pool.push(0, xs[0][500:]);  pool.push(1, xs[1][:800])
+        pool.push(2, xs[2][37:2000])
+        pool.run()
+        pool.push(1, xs[1][800:]);  pool.push(2, xs[2][2000:])
+        outs = [np.concatenate([pool.take(i), pool.flush(i)])
+                for i in range(3)]
+        for x, out in zip(xs, outs):
+            assert out.shape == x.shape
+            np.testing.assert_allclose(out, x * 0.5, atol=1e-6)
+        # every device call saw the one fixed batch shape (one compile)
+        assert set(pipe.batch_calls) == {(3, 2000)}
+
+    def test_pool_step_advances_only_ready_streams(self, rng):
+        pipe = _BatchScalePipe()
+        pool = OnlineEnhancerPool(pipe, n_streams=4, context=2000,
+                                  chunk=160, lookahead=240)
+        assert pool.step() == 0                 # nothing buffered
+        assert pipe.batch_calls == []           # ... and no device call
+        pool.push(0, np.ones(400, np.float32))  # exactly one chunk ready
+        pool.push(1, np.ones(399, np.float32))  # one sample short
+        assert pool.step() == 1
+        assert pool.step() == 0                 # stream 0 drained
+        pool.push(1, np.ones(1, np.float32))
+        pool.push(3, np.ones(805, np.float32))  # three chunks ready
+        assert pool.run() == 3                  # {1,3}, {3}, {3}
+        assert len(pool.take(1)) == 160 and len(pool.take(3)) == 480
+        assert pool.latency_samples == 400
+
+    def test_pool_parity_with_solo_real_model(self, tmp_path, rng):
+        """With a real attention model the pooled (B, ctx) program must
+        reproduce each solo stream's output (batch rows are independent;
+        numerics agree to float tolerance)."""
+        pipe = _dcse_pipe(tmp_path)
+        xs = [rng.standard_normal(3000).astype(np.float32) * 0.3,
+              rng.standard_normal(2500).astype(np.float32) * 0.3]
+        solo = []
+        for x in xs:
+            oe = OnlineEnhancer(pipe, context=2000, chunk=160,
+                                lookahead=240)
+            solo.append(np.concatenate([oe.push(x), oe.flush()]))
+        pool = OnlineEnhancerPool(pipe, n_streams=2, context=2000,
+                                  chunk=160, lookahead=240)
+        pool.push(0, xs[0])
+        pool.push(1, xs[1])
+        pool.run()
+        outs = [pool.flush(i) for i in range(2)]
+        for s, p in zip(solo, outs):
+            assert p.shape == s.shape
+            np.testing.assert_allclose(p, s, atol=1e-5)
 
     def test_online_close_to_offline_quality(self, tmp_path, rng):
         """Online output stays close to the offline whole-signal pass in
