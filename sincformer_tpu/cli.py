@@ -438,6 +438,57 @@ def calibrate(args):
           f"(persisted in the checkpoint sidecar)")
 
 
+def export(args):
+    """Export a trained checkpoint family as a compact int8 SERVING
+    artifact (train/state.py::save_checkpoint_quantized: per-channel
+    int8 with stochastic rounding, no optimizer state, ~4× smaller;
+    restored transparently by every inference path).
+
+    The exported directory is a drop-in model dir: point
+    ``SINCFORMER_MODEL_DIR`` at it and ``evaluate`` / ``enhance`` load
+    it like any trained checkpoint — variant autodetect (CPEA/PA impls)
+    and the output-gain sidecar both carry over. Exists so a trained
+    model can be committed to the repo as durable evidence: the full
+    training checkpoints (opt state, f32) are GBs and machine-local,
+    the serving artifact is MBs. (Reference has no deployment-artifact
+    path at all — its torch .pth saves are training state.)"""
+    os.environ["SINCFORMER_CKPT_PREF"] = getattr(args, "ckpt", "best")
+    which = getattr(args, "model", "sincformer")
+    if which == "sincformer":
+        from sincformer_tpu.train.agent_trainer import SincformerPipeline
+        pipe, name = SincformerPipeline(), "sincformer_final"
+    elif which == "conformer":
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+        pipe, name = DCSEPipeline(), "conformer_final"
+    else:
+        from sincformer_tpu.train.dnn_trainer import DNNPipeline
+        pipe = DNNPipeline(mask_type=args.mask_type)
+        name = f"dnn_{args.mask_type}_final"
+    src = pipe.load_model()
+    src_fam = os.path.dirname(os.path.abspath(src))
+    out_dir = args.out or (pipe.model_dir.rstrip("/\\") + "_serving")
+    os.makedirs(out_dir, exist_ok=True)
+    # write under the FINAL family name whatever the source was, so the
+    # exported dir is loadable with no flags; the sidecar records the
+    # true provenance
+    pipe.model_dir = out_dir
+    path = pipe.save_model(name=name, quantize=True)
+    from sincformer_tpu.train.state import merge_train_meta
+    merge_train_meta(out_dir, name, {
+        "exported_from": os.path.abspath(src),
+        "source_step": int(pipe.state.step),
+        "source_ckpt_pref": os.environ["SINCFORMER_CKPT_PREF"],
+    })
+
+    def _du(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(d) for f in fs) / 1e6
+    print(f"  Source:   {src}  ({_du(src_fam):.1f} MB family)")
+    print(f"  Exported: {path}  ({_du(out_dir):.1f} MB, int8 serving "
+          f"artifact, output_gain={getattr(pipe, 'output_gain', 1.0):.4f})")
+    print(f"  Load with: SINCFORMER_MODEL_DIR={out_dir}")
+
+
 def info(args):
     """System/config info (reference main.py:445-471)."""
     import jax
@@ -583,6 +634,22 @@ def build_parser():
     cp.add_argument("--synthetic", action="store_true",
                     help="force the synthetic corpus even if TIMIT exists")
 
+    xp = sub.add_parser("export",
+                        help="Export a trained checkpoint as a compact "
+                             "int8 serving artifact (drop-in model dir)")
+    xp.add_argument("--model", default="sincformer",
+                    choices=["sincformer", "conformer", "dnn"])
+    xp.add_argument("--mask-type", default="pcirm",
+                    choices=["irm", "pcirm", "opt_pcirm"],
+                    help="mask head of the DNN checkpoint (--model dnn)")
+    xp.add_argument("--ckpt", default="best", choices=["final", "best"],
+                    help="checkpoint family to export (default: the "
+                         "early-stopped best-validation checkpoint — the "
+                         "deployment-correct choice)")
+    xp.add_argument("--out", default=None, metavar="DIR",
+                    help="output model dir (default: "
+                         "<SINCFORMER_MODEL_DIR>_serving)")
+
     sub.add_parser("info", help="Print system configuration")
     # the `test` alias the reference's usage string promises (main.py:6)
     tstp = sub.add_parser("test", help="Alias for evaluate")
@@ -604,6 +671,8 @@ def main(argv=None):
         enhance(args)
     elif args.command == "calibrate":
         calibrate(args)
+    elif args.command == "export":
+        export(args)
     elif args.command == "info":
         info(args)
     else:

@@ -31,12 +31,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _quant_kernel(seed_ref, x_ref, vals_ref, scales_ref):
-    pltpu.prng_seed(seed_ref[0])
-    x = x_ref[:].astype(jnp.float32)                      # (R, C)
-    amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)     # per column
-    scale = jnp.maximum(amax, 1e-12) / 127.0
-    scaled = jnp.clip(x / scale, -127.0, 127.0)
+def _round_kernel(seed_ref, x_ref, scale_ref, vals_ref):
+    """Stochastic rounding of one (BR, C) row block against precomputed
+    per-column scales. The per-column amax reduction happens in XLA
+    (quantize is reduction + elementwise; only the on-chip PRNG needs
+    Pallas) — so the kernel row-tiles and never holds the whole matrix
+    in VMEM (a 20480×256 f32 embed table blew the 16 MB scoped-vmem
+    limit when the kernel was un-gridded)."""
+    # decorrelate the random stream across row blocks
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:].astype(jnp.float32)                      # (BR, C)
+    scaled = jnp.clip(x / scale_ref[:], -127.0, 127.0)
     # stochastic rounding to the int grid by hand — pltpu.stochastic_round
     # only targets bf16/fp8. uniform in [0,1) from the top 24 random bits.
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
@@ -46,7 +51,6 @@ def _quant_kernel(seed_ref, x_ref, vals_ref, scales_ref):
          * (1.0 / (1 << 24)))
     floor = jnp.floor(scaled)
     vals_ref[:] = (floor + (u < scaled - floor)).astype(jnp.int8)
-    scales_ref[:] = scale[0]
 
 
 def _quant_reference(x, key):
@@ -65,16 +69,23 @@ def _quant_reference(x, key):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _quantize_pallas(x, seed, interpret=False):
     r, c = x.shape
-    return pl.pallas_call(
-        _quant_kernel,
-        out_shape=(jax.ShapeDtypeStruct((r, c), jnp.int8),
-                   jax.ShapeDtypeStruct((c,), jnp.float32)),
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=0, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0              # (1, C)
+    # row-block size: keep the f32 input block ≲2 MB of VMEM (plus the
+    # int8 output and PRNG bits), in whole sublanes
+    br = min(r, max(8, (2_000_000 // (4 * c)) // 8 * 8))
+    grid = (r + br - 1) // br
+    vals = pl.pallas_call(
+        _round_kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((r, c), jnp.int8),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                  pl.BlockSpec((br, c), lambda i: (i, 0)),
+                  pl.BlockSpec((1, c), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0)),
         interpret=interpret,
-    )(seed, x)
+    )(seed, x, scale)
+    return vals, scale[0]
 
 
 def _on_tpu() -> bool:

@@ -650,9 +650,14 @@ class SincformerPipeline:
             return
         if quantize:
             from sincformer_tpu.train.state import save_checkpoint_quantized
-            return save_checkpoint_quantized(
+            path = save_checkpoint_quantized(
                 os.path.join(self.model_dir, name), self.state,
                 step=int(self.state.step))
+            # the serving artifact must carry the calibrated gain too —
+            # _resolve_output_gain reads the family sidecar on load
+            merge_train_meta(self.model_dir, name,
+                             {"output_gain": float(self.output_gain)})
+            return path
         path = save_checkpoint(os.path.join(self.model_dir, name),
                                self.state, step=int(self.state.step))
         merge_train_meta(self.model_dir, name,

@@ -221,3 +221,53 @@ class TestCkptPreference:
             if path:
                 break
         assert path is not None and "best_sincformer" in path
+
+
+class TestExportVerb:
+    def test_export_listed(self, capsys):
+        with pytest.raises(SystemExit):
+            cli.main(["--help"])
+        assert "export" in capsys.readouterr().out
+
+    def test_export_round_trip(self, tmp_path, monkeypatch, capsys):
+        """export produces a drop-in int8 serving dir: loads with no
+        flags, carries the calibrated output gain, and enhances close to
+        the source checkpoint (per-channel int8 quantization noise
+        only)."""
+        from sincformer_tpu.train.dcse_trainer import DCSEPipeline
+        src_dir = tmp_path / "m"
+        pipe = DCSEPipeline(model_dir=str(src_dir))
+        pipe.init_state(epochs=1, steps_per_epoch=1, example_len=2000)
+        pipe.output_gain = 1.25
+        pipe.save_model()                    # conformer_final + gain sidecar
+        monkeypatch.setenv("SINCFORMER_MODEL_DIR", str(src_dir))
+        from sincformer_tpu import config as cfgmod
+        monkeypatch.setattr(cfgmod, "DEFAULT", cfgmod.Config())
+        out = tmp_path / "serving"
+        cli.main(["export", "--model", "conformer", "--ckpt", "final",
+                  "--out", str(out)])
+        msg = capsys.readouterr().out
+        assert "Exported" in msg and str(out) in msg
+        # provenance sidecar
+        from sincformer_tpu.train.state import read_train_meta
+        meta = read_train_meta(str(out), "conformer_final")
+        assert meta["output_gain"] == pytest.approx(1.25)
+        assert "step_" in meta["exported_from"]
+        # drop-in load from the exported dir (quantized restore is
+        # transparent) and near-parity enhancement
+        pipe2 = DCSEPipeline(model_dir=str(out))
+        path = pipe2.load_model()
+        assert "conformer_final" in path
+        assert pipe2.output_gain == pytest.approx(1.25)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 2000)).astype(np.float32) * 0.3
+        a = np.asarray(pipe.enhance_batch(x)).ravel()
+        b = np.asarray(pipe2.enhance_batch(x)).ravel()
+        assert np.isfinite(b).all()
+        assert np.corrcoef(a, b)[0, 1] > 0.95
+        # and it is genuinely the compact artifact, not a f32 copy: the
+        # exported family is much smaller than the source family
+        def du(d):
+            return sum(os.path.getsize(os.path.join(r, f))
+                       for r, _, fs in os.walk(d) for f in fs)
+        assert du(out) < 0.5 * du(src_dir / "conformer_final")
