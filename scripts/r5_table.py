@@ -141,6 +141,26 @@ def main():
             print(f"| {label} | final | {fmt(g_f)} | |")
             print(f"| {label} | best | {fmt(g_b)} | {d} |")
 
+    # ── int8 serving artifact vs its source checkpoint ────────────────
+    # eval_best_v4s0_int8.json scores the committed deployment artifact
+    # (artifacts/r5/sincformer_v4s0_best_serving, `cli export --ckpt
+    # best`: per-channel int8 + stochastic rounding, 3065→16 MB) on the
+    # same grid as its f32 source — the price of the 192× compression.
+    q = load("best_v4s0_int8")
+    if q:
+        print("\n## int8 serving artifact (cli export) vs f32 source, "
+              "same grid\n")
+        print("| checkpoint | " + " | ".join(m.upper() for m in METRICS)
+              + " |")
+        print("|---|" + "---|" * len(METRICS))
+        g_f = grand(load("best_v4s0"), "sincformer")
+        g_q = grand(q, "sincformer")
+        print(f"| v4s0 best (f32, 3.0 GB family) | {fmt(g_f)} |")
+        print(f"| v4s0 best exported (int8, 16 MB) | {fmt(g_q)} |")
+        print("| Δ | " + " | ".join(
+            f"{g_q[k] - g_f[k]:+.{2 if k == 'ssnr' else 4}f}"
+            for k in METRICS) + " |")
+
     # ── speech-diversity probe (round-5b): varied-utterance corpus ────
     # Scores on the varied grid use different clean signals than the
     # formant grid — the two tables are NOT cross-comparable; the noisy
