@@ -296,26 +296,57 @@ def enhance(args):
 
     if getattr(args, "online", False):
         # causal low-latency mode: simulate live arrival in 20 ms chunks
-        # through serve.OnlineEnhancer (bounded 50 ms algorithmic latency)
-        from sincformer_tpu.serve import OnlineEnhancer
-        if len(inputs) != 1:
-            print("  --online takes exactly one input file")
+        # through serve.OnlineEnhancer (bounded 50 ms algorithmic latency).
+        # Multiple inputs run as CONCURRENT live streams through
+        # serve.OnlineEnhancerPool — one batched device call advances all
+        # of them one chunk (the production many-callers serving shape).
+        from sincformer_tpu.serve import OnlineEnhancer, OnlineEnhancerPool
+
+        def _toout(x):
+            return (StreamingEnhancer._quantize_host(x) if pcm16
+                    else np.clip(x, -1.0, 1.0).astype(np.float32))
+        if len(inputs) == 1:
+            noisy = load_audio(inputs[0], fs)
+            oe = OnlineEnhancer(pipe)
+            print(f"  Online mode: {oe.latency_samples / fs * 1000:.0f} ms "
+                  f"algorithmic latency, {oe.chunk / fs * 1000:.0f} ms "
+                  f"chunks")
+            t0 = time.time()
+            parts = [oe.push(noisy[i:i + oe.chunk])
+                     for i in range(0, len(noisy), oe.chunk)]
+            parts.append(oe.flush())
+            enhanced = np.concatenate(parts)
+            dt = time.time() - t0
+            wavfile.write(args.output, fs, _toout(enhanced))
+            print(f"  Enhanced → {args.output}  ({dt:.2f}s wall, "
+                  f"{len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
             return
-        noisy = load_audio(inputs[0], fs)
-        oe = OnlineEnhancer(pipe)
-        print(f"  Online mode: {oe.latency_samples / fs * 1000:.0f} ms "
-              f"algorithmic latency, {oe.chunk / fs * 1000:.0f} ms chunks")
+        signals = [load_audio(p, fs) for p in inputs]
+        pool = OnlineEnhancerPool(pipe, n_streams=len(signals))
+        total_s = sum(len(s) for s in signals) / fs
+        print(f"  Online pool: {len(signals)} concurrent streams, "
+              f"{pool.latency_samples / fs * 1000:.0f} ms algorithmic "
+              f"latency, one device call per {pool.chunk / fs * 1000:.0f} "
+              f"ms step")
+        os.makedirs(args.output, exist_ok=True)
         t0 = time.time()
-        parts = [oe.push(noisy[i:i + oe.chunk])
-                 for i in range(0, len(noisy), oe.chunk)]
-        parts.append(oe.flush())
-        enhanced = np.concatenate(parts)
+        pos, n = [0] * len(signals), pool.chunk
+        while any(p < len(s) for p, s in zip(pos, signals)):
+            for i, s in enumerate(signals):       # live lockstep arrival
+                if pos[i] < len(s):
+                    pool.push(i, s[pos[i]:pos[i] + n])
+                    pos[i] += n
+            pool.step()
+        outs = [np.concatenate([pool.take(i), pool.flush(i)])
+                for i in range(len(signals))]
         dt = time.time() - t0
-        out = (StreamingEnhancer._quantize_host(enhanced) if pcm16
-               else np.clip(enhanced, -1.0, 1.0).astype(np.float32))
-        wavfile.write(args.output, fs, out)
-        print(f"  Enhanced → {args.output}  ({dt:.2f}s wall, "
-              f"{len(noisy) / fs / max(dt, 1e-9):.1f}x realtime)")
+        for path, out in zip(inputs, outs):
+            wavfile.write(os.path.join(args.output,
+                                       os.path.basename(path)),
+                          fs, _toout(out))
+        print(f"  Enhanced {len(inputs)} streams → {args.output}/  "
+              f"({dt:.2f}s wall, {total_s / max(dt, 1e-9):.1f}x realtime "
+              f"aggregate)")
         return
 
     se = StreamingEnhancer(pipe)
@@ -618,7 +649,10 @@ def build_parser():
                      help="causal low-latency mode (50 ms bounded "
                           "algorithmic latency): audio is fed in 20 ms "
                           "chunks through the stateful online enhancer "
-                          "instead of the batch long-form path")
+                          "instead of the batch long-form path; multiple "
+                          "inputs run as concurrent live streams through "
+                          "the batched online pool (one device call per "
+                          "20 ms step for ALL streams)")
     enp.add_argument("--model", default=None,
                      choices=["sincformer", "conformer", "pcirm",
                               "opt_pcirm", "irm"],

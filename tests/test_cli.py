@@ -271,3 +271,46 @@ class TestExportVerb:
             return sum(os.path.getsize(os.path.join(r, f))
                        for r, _, fs in os.walk(d) for f in fs)
         assert du(out) < 0.5 * du(src_dir / "conformer_final")
+
+
+class TestEnhanceOnlinePool:
+    def test_multi_input_online_uses_pool(self, capsys, tmp_path,
+                                          monkeypatch):
+        """`enhance a b c outdir --online` serves the inputs as
+        CONCURRENT live streams: every device call is one fixed
+        (n_streams, context) batch, and each output equals the solo
+        result (0.5x for the linear pipe)."""
+        from scipy.io import wavfile
+
+        import sincformer_tpu.evaluation.grid as grid_mod
+        rng = np.random.default_rng(3)
+
+        class HalfPipe:
+            def __init__(self):
+                self.batch_shapes = []
+
+            def enhance_batch(self, x):
+                x = np.asarray(x)
+                self.batch_shapes.append(x.shape)
+                return x * 0.5
+
+        pipe = HalfPipe()
+        monkeypatch.setattr(grid_mod, "discover_pipelines",
+                            lambda *a, **k: {"sincformer": pipe})
+        paths, xs = [], []
+        for i, n in enumerate((3000, 2100, 4400)):
+            x = (0.2 * rng.standard_normal(n)).astype(np.float32)
+            p = str(tmp_path / f"s{i}.wav")
+            wavfile.write(p, 8000, x)
+            paths.append(p)
+            xs.append(x)
+        outdir = str(tmp_path / "out")
+        cli.main(["enhance", *paths, outdir, "--online"])
+        out = capsys.readouterr().out
+        assert "Online pool: 3 concurrent streams" in out
+        assert "Enhanced 3 streams" in out
+        assert set(pipe.batch_shapes) == {(3, 8000)}   # one executable
+        for p, x in zip(paths, xs):
+            _, y = wavfile.read(str(tmp_path / "out" / os.path.basename(p)))
+            assert y.shape == x.shape
+            np.testing.assert_allclose(y, x * 0.5, atol=1e-4)
