@@ -176,12 +176,31 @@ def main():
                  ("Metacog v4 (64 varied)", vd, "sincformer"),
                  ("Metacog v4 (256 varied)", load("vd256_varied"),
                   "sincformer"),
+                 ("Metacog v4 (1024 varied)", load("vd1024_varied"),
+                  "sincformer"),
                  ("Metacog v4 (64 formant)", load("v4s0_varied"),
                   "sincformer"),
-                 ("DCSE (64 varied)", load("dcse_vd"), "conformer")]
+                 ("DCSE (64 varied)", load("dcse_vd"), "conformer"),
+                 ("DCSE (256 varied)", load("dcse_vd256"), "conformer")]
         for label, payload, method in vrows:
             row = grand(payload, method) if payload else None
             print(f"| {label} | {fmt(row)} |")
+        # best-val checkpoints on the same varied grid (round-5c)
+        vbest = [("Metacog v4 (64 varied)", "vd64", "sincformer"),
+                 ("Metacog v4 (256 varied)", "vd256", "sincformer"),
+                 ("Metacog v4 (1024 varied)", "vd1024", "sincformer"),
+                 ("DCSE (64 varied)", "dcse_vd", "conformer"),
+                 ("DCSE (256 varied)", "dcse_vd256", "conformer")]
+        if any(load(f"best_{n}") for _, n, _ in vbest):
+            print("\nBest-val checkpoints of the varied-trained models "
+                  "(same grid; `evaluate --ckpt best`):\n")
+            print("| model | " + " | ".join(m.upper() for m in METRICS)
+                  + " |")
+            print("|---|" + "---|" * len(METRICS))
+            for label, name, method in vbest:
+                b = load(f"best_{name}")
+                row = grand(b, method) if b else None
+                print(f"| {label} best | {fmt(row)} |")
         xf = load("vd64_formant")
         if xf:
             print("\nCross-corpus: the varied-trained flagship scored on "
