@@ -201,6 +201,22 @@ def main():
                 b = load(f"best_{name}")
                 row = grand(b, method) if b else None
                 print(f"| {label} best | {fmt(row)} |")
+        # round-5d budget extension: both scaling points resumed to 100
+        # epochs under identical settings (scripts/r5d_budget.sh) — the
+        # direct test of the "vd1024 is epoch-budget-limited" claim.
+        e100 = [("Metacog v4 (256 varied) @100ep", "vd256_e100"),
+                ("Metacog v4 (1024 varied) @100ep", "vd1024_e100")]
+        if any(load(n) or load(f"best_{n}") for _, n in e100):
+            print("\nBudget extension (round-5d): the same two models "
+                  "resumed 50→100 epochs, same grid:\n")
+            print("| model | ckpt | " + " | ".join(m.upper()
+                  for m in METRICS) + " |")
+            print("|---|---|" + "---|" * len(METRICS))
+            for label, name in e100:
+                for ck, payload in (("final", load(name)),
+                                    ("best", load(f"best_{name}"))):
+                    row = grand(payload, "sincformer") if payload else None
+                    print(f"| {label} | {ck} | {fmt(row)} |")
         xf = load("vd64_formant")
         if xf:
             print("\nCross-corpus: the varied-trained flagship scored on "
